@@ -1,0 +1,271 @@
+"""Scene container: cameras + image pyramids + masks as dense arrays.
+
+TPU-native replacement for the reference's PhotoSet/Photo/Image object
+graph (reference: image/photoSet.{hpp,cpp}, image/image.{hpp,cpp}).
+All views are stacked into single arrays; pyramid levels are flattened
+and concatenated per view so that a *traced* per-sample pyramid level
+becomes plain index arithmetic:
+
+    planes[v, illum, lvl_offsets[l] + y * lvl_widths[l] + x, :]
+
+which is what lets the dynamic level selection of the texture fetch
+(reference optim.cpp:806-811) live inside one jitted kernel.
+
+Pyramid construction matches the reference bit-for-bit on the interior:
+[1 3 3 1] x [1 3 3 1] separable kernel, stride 2, contributions from the
+last row/column of the parent level dropped (reference
+image.cpp:268-277 skips `h-1 < ytmp`), per-level re-quantization to
+uint8 via floor(c + 0.5) (image.cpp:308-310). Masks use the OR-dilating
+2x2 pyramid (image.cpp:717-747).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.camera import CameraSet, load_camera_set, make_camera_set
+from . import decode
+
+# ----------------------------------------------------------------------
+# pyramid construction (host side, numpy)
+# ----------------------------------------------------------------------
+
+_K1D = np.array([1.0, 3.0, 3.0, 1.0])
+_K2D = np.outer(_K1D, _K1D) / 64.0
+
+
+def level_dims(width: int, height: int, max_level: int) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+    """Per-level dims by successive halving (reference image.cpp:135-138)."""
+    ws, hs = [width], [height]
+    for _ in range(1, max_level):
+        ws.append(ws[-1] // 2)
+        hs.append(hs[-1] // 2)
+    return tuple(ws), tuple(hs)
+
+
+def downsample_once(img: np.ndarray) -> np.ndarray:
+    """One pyramid level step on a [H, W, C] float image; returns the
+    unquantized float result (caller re-quantizes)."""
+    h, w = img.shape[:2]
+    ho, wo = h // 2, w // 2
+    src = np.array(img, dtype=np.float32)
+    # reference image.cpp:270/276: parent row/col h-1, w-1 never contribute
+    src[h - 1, :] = 0.0
+    src[:, w - 1] = 0.0
+    pad = np.zeros((h + 3, w + 3) + img.shape[2:], dtype=np.float32)
+    pad[1 : 1 + h, 1 : 1 + w] = src
+    out = np.zeros((ho, wo) + img.shape[2:], dtype=np.float32)
+    for i in range(-1, 3):
+        for j in range(-1, 3):
+            out += _K2D[i + 1, j + 1] * pad[
+                1 + i : 1 + i + 2 * ho : 2, 1 + j : 1 + j + 2 * wo : 2
+            ]
+    return out
+
+
+def build_pyramid(img_u8: np.ndarray, max_level: int) -> List[np.ndarray]:
+    """Full image pyramid, re-quantized to uint8 values per level
+    (kept as float32 for the device)."""
+    levels = [np.asarray(img_u8, dtype=np.float32)]
+    for _ in range(1, max_level):
+        down = downsample_once(levels[-1])
+        down = np.clip(np.floor(down + 0.5), 0.0, 255.0)
+        levels.append(down.astype(np.float32))
+    return levels
+
+
+def build_mask_pyramid(mask_u8: np.ndarray, max_level: int) -> List[np.ndarray]:
+    """OR-dilating mask pyramid (reference image.cpp:717-747)."""
+    levels = [np.asarray(mask_u8, dtype=np.uint8)]
+    for _ in range(1, max_level):
+        prev = levels[-1]
+        h, w = prev.shape
+        ho, wo = h // 2, w // 2
+        ys0 = 2 * np.arange(ho)
+        ys1 = np.minimum(h - 1, ys0 + 1)
+        xs0 = 2 * np.arange(wo)
+        xs1 = np.minimum(w - 1, xs0 + 1)
+        acc = (
+            prev[np.ix_(ys0, xs0)].astype(np.int32)
+            + prev[np.ix_(ys0, xs1)]
+            + prev[np.ix_(ys1, xs0)]
+            + prev[np.ix_(ys1, xs1)]
+        )
+        levels.append(np.where(acc > 0, 255, 0).astype(np.uint8))
+    return levels
+
+
+# ----------------------------------------------------------------------
+# Scene pytree
+# ----------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Scene:
+    """All per-scene device state.
+
+    planes : [n_images, n_illums, total_px, 3] f32 — flattened pyramids
+    masks  : [n_images, total_px] f32 in {0, 255}, or None
+    cams   : CameraSet
+    lvl_offsets/widths/heights : [L] i32 device copies of the static meta
+    """
+
+    planes: jnp.ndarray
+    masks: Optional[jnp.ndarray]
+    cams: CameraSet
+    lvl_offsets: jnp.ndarray
+    lvl_widths: jnp.ndarray
+    lvl_heights: jnp.ndarray
+    # static:
+    widths: Tuple[int, ...] = dataclasses.field(default=())
+    heights: Tuple[int, ...] = dataclasses.field(default=())
+    offsets: Tuple[int, ...] = dataclasses.field(default=())
+    max_level: int = 0
+
+    def tree_flatten(self):
+        children = (
+            self.planes,
+            self.masks,
+            self.cams,
+            self.lvl_offsets,
+            self.lvl_widths,
+            self.lvl_heights,
+        )
+        aux = (self.widths, self.heights, self.offsets, self.max_level)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def n_images(self) -> int:
+        return self.planes.shape[0]
+
+    @property
+    def n_illums(self) -> int:
+        return self.planes.shape[1]
+
+    @property
+    def has_mask(self) -> bool:
+        return self.masks is not None
+
+    def width(self, level: int) -> int:
+        return self.widths[level]
+
+    def height(self, level: int) -> int:
+        return self.heights[level]
+
+
+def scene_from_arrays(
+    projections: np.ndarray,
+    images: Sequence[np.ndarray],
+    masks: Optional[Sequence[Optional[np.ndarray]]] = None,
+    max_level: int = 4,
+    cams: Optional[CameraSet] = None,
+) -> Scene:
+    """Build a Scene from in-memory arrays.
+
+    images: per view either [H, W, 3] or [n_illums, H, W, 3] uint8.
+    All views must share dimensions (pad beforehand otherwise).
+    """
+    imgs = []
+    for im in images:
+        a = np.asarray(im)
+        if a.ndim == 3:
+            a = a[None]
+        imgs.append(a)
+    n = len(imgs)
+    n_illums = imgs[0].shape[0]
+    h, w = imgs[0].shape[1:3]
+    for a in imgs:
+        assert a.shape == (n_illums, h, w, 3), "all views must share dims"
+
+    ws, hs = level_dims(w, h, max_level)
+    offsets = []
+    total = 0
+    for l in range(max_level):
+        offsets.append(total)
+        total += ws[l] * hs[l]
+    offsets = tuple(offsets)
+
+    planes = np.zeros((n, n_illums, total, 3), dtype=np.float32)
+    for v in range(n):
+        for il in range(n_illums):
+            pyr = build_pyramid(imgs[v][il], max_level)
+            for l in range(max_level):
+                planes[v, il, offsets[l] : offsets[l] + ws[l] * hs[l]] = pyr[
+                    l
+                ].reshape(-1, 3)
+
+    mask_arr = None
+    if masks is not None and any(m is not None for m in masks):
+        mask_arr = np.full((n, total), 255.0, dtype=np.float32)
+        for v in range(n):
+            if masks[v] is None:
+                continue
+            mpyr = build_mask_pyramid(masks[v], max_level)
+            for l in range(max_level):
+                mask_arr[v, offsets[l] : offsets[l] + ws[l] * hs[l]] = (
+                    mpyr[l].reshape(-1).astype(np.float32)
+                )
+
+    if cams is None:
+        cams = make_camera_set(projections)
+    return Scene(
+        planes=jnp.asarray(planes),
+        masks=None if mask_arr is None else jnp.asarray(mask_arr),
+        cams=cams,
+        lvl_offsets=jnp.asarray(offsets, dtype=jnp.int32),
+        lvl_widths=jnp.asarray(ws, dtype=jnp.int32),
+        lvl_heights=jnp.asarray(hs, dtype=jnp.int32),
+        widths=ws,
+        heights=hs,
+        offsets=offsets,
+        max_level=max_level,
+    )
+
+
+def load_scene(prefix: str, image_ids: Sequence[int], nillums: int, max_level: int) -> Scene:
+    """Load a scene from the reference dataset directory contract
+    (reference photoSet.cpp:20-61):
+
+      image/%04d%04d.{jpg,ppm,png,tiff}  view x illumination
+      txt/%08d.txt                       CONTOUR camera files
+      mask/%08d.{pgm,pbm}                optional masks
+    """
+    n = len(image_ids)
+    cam_paths = [os.path.join(prefix, "txt", f"{i:08d}.txt") for i in range(n)]
+    cams = load_camera_set(cam_paths)
+
+    images = []
+    masks = []
+    for i in range(n):
+        illums = []
+        for il in range(nillums):
+            base = os.path.join(prefix, "image", f"{i:04d}{il:04d}")
+            path = None
+            for ext in (".jpg", ".jpeg", ".ppm", ".png", ".tiff"):
+                if os.path.exists(base + ext):
+                    path = base + ext
+                    break
+            if path is None:
+                raise FileNotFoundError(f"no image for view {i} illum {il}: {base}.*")
+            illums.append(decode.load_rgb(path))
+        images.append(np.stack(illums))
+        masks.append(decode.load_mask(os.path.join(prefix, "mask", f"{i:08d}")))
+
+    return scene_from_arrays(
+        projections=np.asarray(cams.P, dtype=np.float64),
+        images=images,
+        masks=masks,
+        max_level=max_level,
+        cams=cams,
+    )

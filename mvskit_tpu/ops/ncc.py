@@ -1,0 +1,292 @@
+"""Batched NCC photo-consistency scoring — the hot op of PM-MVS.
+
+TPU-native fusion of the reference's texture grab + normalization + NCC
+chain (reference pmmvps/optim.cpp:790-948, 601-628, 630-706): for a
+batch of patch hypotheses, warp a wsize x wsize window on the patch
+plane into each candidate view (bilinear, with per-(patch,view) dynamic
+pyramid level), zero-mean/unit-RMS normalize, and reduce to robust
+inverse-NCC scores. Everything is one jit region; the per-view axis is
+a vectorized dimension rather than the reference's serial view loop.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..geometry import camera as cam
+from ..image.scene import Scene
+from . import sampling
+
+BIG = jnp.float32(2**30)
+
+
+def robustincc(incc):
+    """incc / (1 + 3 incc) (reference optim.cpp:622-624)."""
+    return incc / (1.0 + 3.0 * incc)
+
+
+def unrobustincc(rincc):
+    """Inverse of robustincc (reference optim.cpp:626-628)."""
+    return rincc / (1.0 - 3.0 * rincc)
+
+
+def _dot4(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _unit_ray_to_camera(scene: Scene, index, coord):
+    """Normalized ray from patch to camera center (w component 0)."""
+    ray = scene.cams.center[index] - coord
+    n = jnp.sqrt(jnp.maximum(jnp.sum(ray * ray, axis=-1), 1e-20))
+    return ray / n[..., None]
+
+
+def get_tex(
+    scene: Scene,
+    index,
+    coord,
+    pxaxis,
+    pyaxis,
+    normal,
+    level: int,
+    wsize: int,
+    angle_threshold1: float,
+    illum=0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Grab one normalized-lattice texture window per (hypothesis, view).
+
+    Mirrors Optim::getTex (reference optim.cpp:790-844):
+      * viewing-angle gate: ray . normal >= cos(angle_threshold1)
+      * auto level shift from the projected footprint
+        (levelDiff = round(log2((|dx|+|dy|)/2)), clamped to [-level, 2])
+      * border-safety margin of 2px at the resolved level (getTexSafe,
+        optim.cpp:895-915)
+      * wsize^2 bilinear samples on the projected lattice.
+
+    index/coord/... have a common batch shape [...]; returns
+    (tex[..., wsize*wsize, 3], valid[...]).
+    """
+    idx = jnp.maximum(jnp.asarray(index, jnp.int32), 0)  # safe gather index
+    ray = _unit_ray_to_camera(scene, idx, coord)
+    weight = jnp.maximum(0.0, _dot4(ray, normal))
+    valid_angle = weight >= math.cos(angle_threshold1)
+
+    c_xy, _, c_ok = cam.project(scene.cams, idx, coord, level)
+    px_xy, _, _ = cam.project(scene.cams, idx, coord + pxaxis, level)
+    py_xy, _, _ = cam.project(scene.cams, idx, coord + pyaxis, level)
+    dx = px_xy - c_xy
+    dy = py_xy - c_xy
+
+    ratio = (
+        jnp.sqrt(jnp.maximum(jnp.sum(dx * dx, axis=-1), 1e-20))
+        + jnp.sqrt(jnp.maximum(jnp.sum(dy * dy, axis=-1), 1e-20))
+    ) / 2.0
+    level_diff = jnp.floor(jnp.log2(ratio) + 0.5).astype(jnp.int32)
+    level_diff = jnp.clip(level_diff, -level, 2)
+    scale = jnp.exp2(level_diff.astype(jnp.float32))
+    new_level = level + level_diff
+
+    c2 = c_xy / scale[..., None]
+    dx2 = dx / scale[..., None]
+    dy2 = dy / scale[..., None]
+
+    margin = wsize // 2
+    half = dx2 * margin
+    halfy = dy2 * margin
+    minxy = c2 - jnp.abs(half) - jnp.abs(halfy)
+    maxxy = c2 + jnp.abs(half) + jnp.abs(halfy)
+    w_l = scene.lvl_widths[new_level].astype(jnp.float32)
+    h_l = scene.lvl_heights[new_level].astype(jnp.float32)
+    margin2 = 2.0
+    valid_safe = (
+        (minxy[..., 0] >= margin2)
+        & (maxxy[..., 0] < w_l - 1.0 - margin2)
+        & (minxy[..., 1] >= margin2)
+        & (maxxy[..., 1] < h_l - 1.0 - margin2)
+    )
+    valid = valid_angle & valid_safe & c_ok
+
+    # lattice: tl + x*dx + y*dy for (y, x) in wsize^2
+    tl = c2 - half - halfy
+    xs = jnp.arange(wsize, dtype=jnp.float32)
+    # samp[..., y, x, 2]
+    samp = (
+        tl[..., None, None, :]
+        + dx2[..., None, None, :] * xs[None, :, None]
+        + dy2[..., None, None, :] * xs[:, None, None]
+    )
+    s = wsize * wsize
+    samp = samp.reshape(samp.shape[:-3] + (s, 2))
+    lvl = jnp.broadcast_to(new_level[..., None], samp.shape[:-1])
+    iidx = jnp.broadcast_to(idx[..., None], samp.shape[:-1])
+    tex = sampling.sample_color(
+        scene, iidx, samp[..., 0], samp[..., 1], lvl, illum
+    )
+    return tex, valid
+
+
+def normalize_tex(tex):
+    """Zero-mean, unit-RMS normalization (reference optim.cpp:917-940).
+
+    tex: [..., S, 3] -> same shape."""
+    s = tex.shape[-2]
+    ave = jnp.mean(tex, axis=-2, keepdims=True)
+    diff = tex - ave
+    ssd = jnp.sum(diff * diff, axis=(-1, -2), keepdims=True)
+    msd = jnp.sqrt(ssd / (3.0 * s))
+    msd = jnp.where(msd == 0.0, 1.0, msd)
+    return diff / msd
+
+
+def tex_dot(tex0, tex1):
+    """Mean elementwise product (reference optim.cpp:601-609):
+    sum(t0 . t1) / (3 * S)."""
+    s = tex0.shape[-2]
+    return jnp.sum(tex0 * tex1, axis=(-1, -2)) / (3.0 * s)
+
+
+def texs_for_views(
+    scene: Scene,
+    views,
+    coord,
+    normal,
+    level: int,
+    wsize: int,
+    angle_threshold1: float,
+    illum=0,
+):
+    """Windows for a [B, T] view list sharing per-patch plane axes.
+
+    Plane axes come from the *reference* view views[:, 0] (reference
+    optim.cpp:635-638: getPAxes on indexes[0] only). views == -1 marks
+    padding. Returns (tex[B, T, S, 3] normalized, valid[B, T])."""
+    ref = jnp.maximum(views[..., 0], 0)
+    pxaxis, pyaxis = cam.get_paxes(scene.cams, ref, coord, normal, level)
+
+    B, T = views.shape
+    vcoord = jnp.broadcast_to(coord[:, None, :], (B, T, 4))
+    vnormal = jnp.broadcast_to(normal[:, None, :], (B, T, 4))
+    vpx = jnp.broadcast_to(pxaxis[:, None, :], (B, T, 4))
+    vpy = jnp.broadcast_to(pyaxis[:, None, :], (B, T, 4))
+    tex, valid = get_tex(
+        scene,
+        views,
+        vcoord,
+        vpx,
+        vpy,
+        vnormal,
+        level,
+        wsize,
+        angle_threshold1,
+        illum,
+    )
+    valid = valid & (views >= 0)
+    tex = normalize_tex(tex)
+    return tex, valid
+
+
+def incc_cost(tex, valid, minimum):
+    """cost_func aggregation (reference optim.cpp:401-468, pairwise=0):
+    unweighted mean of robustincc(1 - dot(ref, other)) over valid others;
+    2.0 when the reference window is invalid or fewer than minimum-1
+    others are valid.
+
+    tex: [B, T, S, 3] normalized; valid: [B, T]; minimum: [B] or scalar.
+    Returns cost [B]."""
+    dots = tex_dot(tex[:, :1], tex)  # [B, T]
+    r = robustincc(1.0 - dots)
+    ok = valid & valid[:, :1]
+    ok = ok.at[:, 0].set(False)
+    denom = jnp.sum(ok, axis=1)
+    ans = jnp.sum(jnp.where(ok, r, 0.0), axis=1)
+    cost = ans / jnp.maximum(denom, 1)
+    cost = jnp.where(denom >= jnp.asarray(minimum) - 1, cost, 2.0)
+    return jnp.where(valid[:, 0], cost, 2.0)
+
+
+def incc_weighted(tex, valid, weights, robust: bool = True):
+    """computeINCC aggregation (reference optim.cpp:684-706): weighted
+    mean of [robust]incc(1 - dot(ref, other)); 2.0 when no weight."""
+    dots = tex_dot(tex[:, :1], tex)
+    incc = 1.0 - dots
+    if robust:
+        incc = robustincc(incc)
+    ok = valid & valid[:, :1]
+    ok = ok.at[:, 0].set(False)
+    tw = jnp.sum(jnp.where(ok, weights, 0.0), axis=1)
+    score = jnp.sum(jnp.where(ok, incc * weights, 0.0), axis=1)
+    score = jnp.where(tw > 0.0, score / jnp.where(tw == 0, 1.0, tw), 2.0)
+    return jnp.where(valid[:, 0], score, 2.0)
+
+
+def incc_vs_ref(tex, valid, robust: bool):
+    """Per-view INCC against the reference view (reference
+    optim.cpp:708-746): entry 0 is 0; invalid entries are 2."""
+    dots = tex_dot(tex[:, :1], tex)
+    incc = 1.0 - dots
+    if robust:
+        incc = robustincc(incc)
+    out = jnp.where(valid & valid[:, :1], incc, 2.0)
+    out = out.at[:, 0].set(jnp.where(valid[:, 0], 0.0, 2.0))
+    return out
+
+
+def incc_pairwise(tex, valid, robust: bool):
+    """All-pairs INCC matrix [B, T, T] (reference optim.cpp:748-783);
+    diagonal 0, invalid pairs 2."""
+    B, T = valid.shape
+    dots = jnp.einsum("btsc,busc->btu", tex, tex) / (3.0 * tex.shape[-2])
+    incc = 1.0 - dots
+    if robust:
+        incc = robustincc(incc)
+    pair_ok = valid[:, :, None] & valid[:, None, :]
+    out = jnp.where(pair_ok, incc, 2.0)
+    eye = jnp.eye(T, dtype=bool)[None]
+    return jnp.where(eye, 0.0, out)
+
+
+def compute_units(scene: Scene, views, coord, normal, level: int):
+    """Per-view footprint units (reference optim.cpp:109-132):
+    getUnit / (ray . normal), BIG when the view sees the back side."""
+    idx = jnp.maximum(views, 0)
+    unit = cam.get_unit(scene.cams, idx, coord[:, None, :], level)
+    ray = _unit_ray_to_camera(scene, idx, coord[:, None, :])
+    dot = _dot4(ray, normal[:, None, :])
+    unit = jnp.where(dot > 0.0, unit / jnp.where(dot > 0, dot, 1.0), BIG)
+    return jnp.where(views >= 0, unit, BIG)
+
+
+def compute_weights(scene: Scene, views, coord, normal, level: int):
+    """Resolution-ratio weights (reference optim.cpp:942-948):
+    w_i = min(1, unit_0 / unit_i), w_0 = 1."""
+    units = compute_units(scene, views, coord, normal, level)
+    w = jnp.minimum(1.0, units[:, :1] / units)
+    return w.at[:, 0].set(1.0)
+
+
+def compute_patch_ncc(
+    scene: Scene,
+    views,
+    coord,
+    normal,
+    level: int,
+    wsize: int,
+    tau: int,
+    angle_threshold1: float,
+):
+    """PatchManager::computeNcc (reference patch_manager.cpp:401-404):
+    ncc = 1 - unrobustincc(weighted robust INCC over the first tau views).
+
+    views: [B, M] ordered view list (-1 pad). Returns ncc [B]."""
+    v = views[:, :tau]
+    weights = compute_weights(scene, v, coord, normal, level)
+    tex, valid = texs_for_views(
+        scene, v, coord, normal, level, wsize, angle_threshold1
+    )
+    nviews = jnp.sum(views >= 0, axis=1)
+    score = incc_weighted(tex, valid, weights, robust=True)
+    score = jnp.where(nviews < 2, 2.0, score)  # computeINCC size guard
+    return 1.0 - unrobustincc(score)

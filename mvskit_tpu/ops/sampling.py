@@ -1,0 +1,105 @@
+"""Device-side texture/mask sampling from flattened pyramids.
+
+Replaces the reference's pointer-walking bilinear fetch (reference
+image/image.cpp:447-471) and mask lookups (image.cpp:749-781) with
+batched gathers over the Scene's flat pyramid planes. The pyramid level
+may be a *traced* per-sample integer — level selection is just index
+arithmetic against `lvl_offsets`/`lvl_widths`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..image.scene import Scene
+
+
+def _flatten_planes(scene: Scene):
+    n, ni, t, _ = scene.planes.shape
+    return scene.planes.reshape(n * ni * t, 3), ni, t
+
+
+def sample_color(scene: Scene, image_idx, x, y, level, illum=0):
+    """Bilinear color fetch at float pixel coords (x, y) of `level`.
+
+    Matches reference image.cpp:447-471: lx = int(x) truncation, weights
+    from the fractional parts, 2x2 tap. Indices are clamped for safety —
+    validity (border margins) is the caller's responsibility, as in the
+    reference where getTexSafe pre-checks bounds (optim.cpp:895-915).
+
+    image_idx, x, y, level broadcast; returns [..., 3] float32.
+    """
+    flat, ni, t = _flatten_planes(scene)
+    level = jnp.asarray(level, dtype=jnp.int32)
+    off = scene.lvl_offsets[level]
+    w = scene.lvl_widths[level]
+    h = scene.lvl_heights[level]
+
+    lx = jnp.clip(x.astype(jnp.int32), 0, w - 2)
+    ly = jnp.clip(y.astype(jnp.int32), 0, h - 2)
+    dx1 = jnp.clip(x - lx.astype(x.dtype), 0.0, 1.0)
+    dy1 = jnp.clip(y - ly.astype(y.dtype), 0.0, 1.0)
+    dx0 = 1.0 - dx1
+    dy0 = 1.0 - dy1
+
+    base = (jnp.asarray(image_idx, jnp.int32) * ni + illum) * t + off
+    i00 = base + ly * w + lx
+    i10 = i00 + 1
+    i01 = i00 + w
+    i11 = i01 + 1
+
+    idx = jnp.stack([i00, i10, i01, i11], axis=-1)  # [..., 4]
+    wts = jnp.stack(
+        [dx0 * dy0, dx1 * dy0, dx0 * dy1, dx1 * dy1], axis=-1
+    )  # [..., 4]
+    taps = jnp.take(flat, idx, axis=0)  # [..., 4, 3]
+    return jnp.sum(taps * wts[..., None], axis=-2)
+
+
+def sample_mask(scene: Scene, image_idx, x, y, level):
+    """Nearest-neighbor mask lookup (reference image.cpp:749-781).
+
+    Returns float: 255 inside, 0 outside, -1 when out of image bounds or
+    when the scene has no masks.
+    """
+    if scene.masks is None:
+        return jnp.full(jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y)), -1.0)
+    level = jnp.asarray(level, dtype=jnp.int32)
+    off = scene.lvl_offsets[level]
+    w = scene.lvl_widths[level]
+    h = scene.lvl_heights[level]
+    ix = jnp.floor(x + 0.5).astype(jnp.int32)
+    iy = jnp.floor(y + 0.5).astype(jnp.int32)
+    inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    ixc = jnp.clip(ix, 0, w - 1)
+    iyc = jnp.clip(iy, 0, h - 1)
+    t = scene.masks.shape[1]
+    flat = scene.masks.reshape(-1)
+    val = jnp.take(flat, jnp.asarray(image_idx, jnp.int32) * t + off + iyc * w + ixc)
+    return jnp.where(inb, val, -1.0)
+
+
+def scene_mask_ok(scene: Scene, coord, level):
+    """Scene-level mask test (reference photoSet.cpp:223-233): a point
+    fails iff ANY view's mask maps it to 0; out-of-bounds (-1) passes.
+
+    coord: [..., 4]; returns bool [...]."""
+    if scene.masks is None:
+        return jnp.ones(coord.shape[:-1], dtype=bool)
+    from ..geometry import camera as cam
+
+    n = scene.n_images
+    idx = jnp.arange(n, dtype=jnp.int32).reshape((n,) + (1,) * (coord.ndim - 1))
+    xy, _, valid = cam.project(scene.cams, idx, coord[None], level)
+    vals = sample_mask(scene, idx, xy[..., 0], xy[..., 1], level)
+    vals = jnp.where(valid, vals, -1.0)
+    return jnp.all(vals != 0.0, axis=0)
+
+
+def color_at_coord(scene: Scene, image_idx, coord, level, illum=0):
+    """Photo::getColor — project then sample (reference photo.cpp:22-46)."""
+    from ..geometry import camera as cam
+
+    xy, _, valid = cam.project(scene.cams, image_idx, coord, level)
+    col = sample_color(scene, image_idx, xy[..., 0], xy[..., 1], level, illum)
+    return jnp.where(valid[..., None], col, 0.0)
