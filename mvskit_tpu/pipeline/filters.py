@@ -1,0 +1,589 @@
+"""Outlier filtering as dense array passes.
+
+Re-expresses the reference filter stage (reference pmmvps/filter.cpp):
+
+  * filterOutside — per-patch gain = score2 minus the max "pressure"
+    (ncc - tau) of non-neighbor co-cell patches per visible view, plus
+    the occluding-view variant over vimages (filter.cpp:51-146);
+  * filterExact  — per (patch, view) visibility against the z-buffer in
+    the cell or its 4-neighborhood; views that fail are dropped, patches
+    falling under minImageNum die (filter.cpp:148-263);
+  * filterNeighbor + filterQuad — scene-space neighbor count gate and a
+    batched least-squares quadric residual test (filter.cpp:265-430);
+  * filterSmallGroups — connected components under isNeighbor via
+    min-label propagation with path halving, replacing the serial BFS
+    (filter.cpp:432-578).
+
+The geometric neighbor predicates come from the driver (reference
+pmmvps.cpp:117-180); the degree/radian swap bug at pmmvps.cpp:124 is
+fixed here (cos(120 deg) = -0.5, the corrected form the reference
+itself uses at :150) — see DIVERGENCES.md.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import grid as gridmod
+from ..core.patches import PatchTable, count_valid
+from ..geometry import camera as cam
+from ..image.scene import Scene
+from ..pipeline import views as vw
+
+INF = jnp.float32(1e30)
+COS120 = -0.5
+
+
+def _ref_unit(scene: Scene, table: PatchTable, idx, level: int):
+    """getUnit(patch.images[0], patch.coord) for patch rows `idx`."""
+    ref = jnp.maximum(table.images[idx, 0], 0)
+    return cam.get_unit(scene.cams, ref, table.coord[idx], level)
+
+
+def score2(table: PatchTable, ncc_threshold):
+    """Patch::score2 (reference patch.cpp:27-29)."""
+    return jnp.maximum(0.0, table.ncc - ncc_threshold) * count_valid(
+        table.images
+    ).astype(jnp.float32)
+
+
+def is_neighbor_pairs(
+    scene: Scene,
+    table: PatchTable,
+    a_idx,
+    b_idx,
+    hunit,
+    threshold,
+    radius=None,
+):
+    """isNeighbor / isNeighborRadius (reference pmmvps.cpp:117-180) for
+    index pairs. All args broadcast; returns bool."""
+    na = table.normal[a_idx]
+    nb = table.normal[b_idx]
+    ndot = jnp.sum(na * nb, axis=-1)
+
+    diff = table.coord[a_idx] - table.coord[b_idx]
+    vunit = table.dscale[a_idx] + table.dscale[b_idx]
+    vunit = jnp.where(vunit == 0.0, 1e-6, vunit)
+    f0 = jnp.sum(na * diff, axis=-1)
+    f1 = jnp.sum(nb * diff, axis=-1)
+    ftmp = (jnp.abs(f0) + jnp.abs(f1)) / 2.0 / vunit
+
+    hvec = (diff - f0[..., None] * na) + (diff - f1[..., None] * nb)
+    hsize = jnp.sqrt(jnp.maximum(jnp.sum(hvec * hvec, axis=-1), 0.0)) / 2.0 / hunit
+
+    ftmp = jnp.where(hsize > 1.0, ftmp / jnp.minimum(2.0, hsize), ftmp)
+    ok = (ndot >= COS120) & (ftmp < threshold)
+    if radius is not None:
+        ok &= hsize <= radius / hunit
+    return ok
+
+
+def _cell_coords(scene: Scene, coord, lists, level: int, csize: int):
+    cx, cy, valid = gridmod.patch_cells(scene, coord, lists, level, csize)
+    return cx, cy, valid
+
+
+# ----------------------------------------------------------------------
+# filterOutside
+# ----------------------------------------------------------------------
+
+def compute_gains(
+    scene: Scene,
+    grid: gridmod.GridState,
+    table: PatchTable,
+    level: int,
+    csize: int,
+    ncc_threshold,
+    neighbor_threshold1,
+) -> jnp.ndarray:
+    """Filter::computeGain for every alive patch (filter.cpp:108-146)."""
+    N, M = table.images.shape
+    S = grid.slots.shape[-1]
+    gains = score2(table, ncc_threshold)
+
+    def pressure_over(lists, slots, need_depth_gate):
+        cx, cy, valid = _cell_coords(scene, table.coord, lists, level, csize)
+        img = jnp.maximum(lists, 0)
+        cxs = jnp.clip(cx, 0, grid.slots.shape[2] - 1)
+        cys = jnp.clip(cy, 0, grid.slots.shape[1] - 1)
+        cell = slots[img, cys, cxs]          # [N, M, S]
+        occupied = cell >= 0
+        cidx = jnp.maximum(cell, 0)
+
+        me = jnp.arange(N, dtype=jnp.int32)[:, None, None]
+        hunit = (
+            (
+                _ref_unit(scene, table, me[:, 0, 0], level)[:, None, None]
+                + _ref_unit(scene, table, cidx, level)
+            )
+            / 2.0
+            * csize
+        )
+        nb = is_neighbor_pairs(
+            scene, table, me, cidx, hunit, neighbor_threshold1
+        )
+        press = table.ncc[cidx] - ncc_threshold
+        use = occupied & valid[..., None] & ~nb & (cidx != me)
+        if need_depth_gate:
+            # only co-cell patches BEHIND this patch press on it
+            # (filter.cpp:136-141)
+            pdepth = jnp.einsum(
+                "nmc,nc->nm", scene.cams.oaxis[img], table.coord
+            )[..., None]
+            bdepth = jnp.sum(
+                scene.cams.oaxis[img][:, :, None, :] * table.coord[cidx],
+                axis=-1,
+            )
+            use = use & (pdepth < bdepth)
+        maxp = jnp.max(
+            jnp.where(use, press, 0.0), axis=2, initial=0.0
+        )  # [N, M]
+        return jnp.sum(jnp.where(valid, maxp, 0.0), axis=1)
+
+    gains = gains - pressure_over(table.images, grid.slots, False)
+    gains = gains - pressure_over(table.vimages, grid.slots, True)
+    return gains
+
+
+def filter_outside(
+    scene: Scene,
+    grid: gridmod.GridState,
+    table: PatchTable,
+    level: int,
+    csize: int,
+    ncc_threshold,
+    neighbor_threshold1,
+) -> Tuple[PatchTable, jnp.ndarray]:
+    """Remove patches with negative gain (filter.cpp:51-97)."""
+    gains = compute_gains(
+        scene, grid, table, level, csize, ncc_threshold, neighbor_threshold1
+    )
+    kill = table.alive & (gains < 0.0)
+    return table._replace(alive=table.alive & ~kill), jnp.sum(kill)
+
+
+# ----------------------------------------------------------------------
+# filterExact
+# ----------------------------------------------------------------------
+
+def filter_exact(
+    scene: Scene,
+    grid: gridmod.GridState,
+    table: PatchTable,
+    level: int,
+    csize: int,
+    wsize: int,
+    min_image_num: int,
+    neighbor_threshold1,
+    angle_threshold1: float,
+    use_depth: bool = True,
+) -> Tuple[PatchTable, jnp.ndarray]:
+    """Per-(patch, view) exact visibility (filter.cpp:148-263): a view
+    survives if the patch passes isVisible in its cell or any 4-neighbor
+    cell; patches under minImageNum die. Survivors re-pick their
+    reference view (setRefImage)."""
+    N, M = table.images.shape
+    cx, cy, valid = _cell_coords(scene, table.coord, table.images, level, csize)
+
+    def vis_at(dx, dy):
+        return gridmod.is_visible(
+            scene, grid, table,
+            table.coord[:, None, :], table.normal[:, None, :],
+            jnp.maximum(table.images, 0), cx + dx, cy + dy,
+            neighbor_threshold1, level, csize, use_depth,
+        )
+
+    safe = vis_at(0, 0) | vis_at(-1, 0) | vis_at(1, 0) | vis_at(0, -1) | vis_at(0, 1)
+    keep = valid & safe
+
+    new_images = vw.compact_list(table.images, keep)
+    enough = count_valid(new_images) >= min_image_num
+    new_images = vw.set_ref_image(
+        scene, table.coord, table.normal, new_images, level, wsize,
+        angle_threshold1,
+    )
+    new_images = jnp.where(enough[:, None], new_images, -1)
+    killed = table.alive & ~enough
+    return (
+        table._replace(
+            images=jnp.where(table.alive[:, None], new_images, table.images),
+            alive=table.alive & enough,
+        ),
+        jnp.sum(killed),
+    )
+
+
+# ----------------------------------------------------------------------
+# neighbor gathering (findNeighbors) + filterNeighbor/filterQuad
+# ----------------------------------------------------------------------
+
+def compute_radius(scene: Scene, table: PatchTable, level: int, csize: int):
+    """Propagate::computeRadius (reference propagate.cpp:474-481):
+    second-smallest per-view unit times csize."""
+    from ..ops.ncc import compute_units
+
+    units = compute_units(
+        scene, table.images, table.coord, table.normal, level
+    )  # [N, M], BIG for invalid
+    two = -lax.top_k(-units, 2)[0]  # two smallest
+    return two[:, 1] * csize
+
+
+def gather_neighbors(
+    scene: Scene,
+    grid: gridmod.GridState,
+    table: PatchTable,
+    rows,
+    level: int,
+    csize: int,
+    margin: int,
+    scale: float,
+    neighbor_threshold,
+    max_neighbors: int,
+):
+    """findNeighbors (reference patch_manager.cpp:671-728) for patch
+    rows `rows` [B]: candidates from (2*margin+1)^2 cells around the
+    patch in every view of its images list, over both pgrids and
+    vpgrids, gated by isNeighborRadius, deduplicated, first
+    `max_neighbors` returned. Returns (nbrs[B, K] i32 -1-pad, count[B]
+    total distinct BEFORE capping)."""
+    B = rows.shape[0]
+    N, M = table.images.shape
+    S = grid.slots.shape[-1]
+    Sv = grid.vslots.shape[-1]
+    gh, gw = grid.slots.shape[1], grid.slots.shape[2]
+
+    coord = table.coord[rows]
+    lists = table.images[rows]
+    cx, cy, valid = _cell_coords(scene, coord, lists, level, csize)
+
+    radius = 1.5 * margin * compute_radius(scene, table, level, csize)[rows]
+    # mean unit over images * csize (patch_manager.cpp:675-680)
+    idx = jnp.maximum(lists, 0)
+    units = cam.get_unit(scene.cams, idx, coord[:, None, :], level)
+    nimg = jnp.maximum(count_valid(lists), 1)
+    hunit = (
+        jnp.sum(jnp.where(lists >= 0, units, 0.0), axis=1) / nimg * csize
+    )
+
+    offs = [(dy, dx) for dy in range(-margin, margin + 1)
+            for dx in range(-margin, margin + 1)]
+    cands = []
+    for (dy, dx) in offs:
+        ty = cy + dy
+        tx = cx + dx
+        inb = valid & (ty >= 0) & (ty < gh) & (tx >= 0) & (tx < gw)
+        tyc = jnp.clip(ty, 0, gh - 1)
+        txc = jnp.clip(tx, 0, gw - 1)
+        img = jnp.maximum(lists, 0)
+        c1 = jnp.where(inb[..., None], grid.slots[img, tyc, txc], -1)
+        c2 = jnp.where(inb[..., None], grid.vslots[img, tyc, txc], -1)
+        cands.append(c1.reshape(B, -1))
+        cands.append(c2.reshape(B, -1))
+    cand = jnp.concatenate(cands, axis=1)  # [B, Kc]
+
+    cidx = jnp.maximum(cand, 0)
+    ok = (cand >= 0) & table.alive[cidx] & (cidx != rows[:, None])
+    nb = is_neighbor_pairs(
+        scene, table, rows[:, None], cidx,
+        hunit[:, None], neighbor_threshold * scale, radius[:, None],
+    )
+    ok &= nb
+
+    # dedup: sort, mask repeats, resort, take first K
+    vals = jnp.where(ok, cidx, N)
+    svals = jnp.sort(vals, axis=1)
+    uniq = jnp.concatenate(
+        [jnp.ones((B, 1), bool), svals[:, 1:] != svals[:, :-1]], axis=1
+    ) & (svals < N)
+    count = jnp.sum(uniq, axis=1)
+    svals = jnp.where(uniq, svals, N)
+    svals = jnp.sort(svals, axis=1)[:, :max_neighbors]
+    nbrs = jnp.where(svals < N, svals, -1).astype(jnp.int32)
+    return nbrs, count
+
+
+def _ortho(z):
+    """Plane basis (reference filter.cpp:394-409 / propagate.cpp:483-498)."""
+    ax = jnp.abs(z[..., 0])
+    ay = jnp.abs(z[..., 1])
+    zeros = jnp.zeros_like(z[..., 0])
+    x_a = jnp.stack([z[..., 1], -z[..., 0], zeros, zeros], axis=-1)
+    x_b = jnp.stack([zeros, z[..., 2], -z[..., 1], zeros], axis=-1)
+    x_c = jnp.stack([-z[..., 2], zeros, z[..., 0], zeros], axis=-1)
+    x = jnp.where(
+        (ax > 0.5)[..., None],
+        x_a,
+        jnp.where((ay > 0.5)[..., None], x_b, x_c),
+    )
+    x = x / jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), 1e-20))
+    z3 = z[..., :3]
+    x3 = x[..., :3]
+    y3 = jnp.cross(z3, x3)
+    y = jnp.concatenate([y3, jnp.zeros_like(z[..., :1])], axis=-1)
+    return x, y
+
+
+def quad_residuals(
+    scene: Scene,
+    table: PatchTable,
+    rows,
+    nbrs,
+    level: int,
+    tau: int,
+):
+    """Filter::filterQuad residual (reference filter.cpp:329-392):
+    fit z = f(x, y) quadric over the neighbors in the patch plane frame
+    and return the mean |residual| / unit, normalized by (nsize - 5).
+    Masked least squares via 5x5 normal equations."""
+    B, K = nbrs.shape
+    coord = table.coord[rows]
+    normal = table.normal[rows]
+    xdir, ydir = _ortho(normal)
+
+    nok = nbrs >= 0
+    ncoord = table.coord[jnp.maximum(nbrs, 0)]
+    diff = ncoord - coord[:, None, :]
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    cnt = jnp.maximum(jnp.sum(nok, axis=1), 1)
+    h = jnp.sum(jnp.where(nok, dist, 0.0), axis=1) / cnt
+    h = jnp.where(h == 0.0, 1.0, h)
+
+    fxs = jnp.sum(diff * xdir[:, None, :], axis=-1) / h[:, None]
+    fys = jnp.sum(diff * ydir[:, None, :], axis=-1) / h[:, None]
+    fzs = jnp.sum(diff * normal[:, None, :], axis=-1)
+
+    A = jnp.stack([fxs * fxs, fys * fys, fxs * fys, fxs, fys], axis=-1)
+    Aw = jnp.where(nok[..., None], A, 0.0)
+    bw = jnp.where(nok, fzs, 0.0)
+    AtA = jnp.einsum("bki,bkj->bij", Aw, Aw)
+    AtA = AtA + 1e-8 * jnp.eye(5)[None]
+    Atb = jnp.einsum("bki,bk->bi", Aw, bw)
+    x = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
+
+    # unit = mean getUnit over the first min(tau, |images|) views
+    # (filter.cpp:368-374)
+    lists = table.images[rows][:, :tau]
+    idx = jnp.maximum(lists, 0)
+    units = cam.get_unit(scene.cams, idx, coord[:, None, :], level)
+    ucnt = jnp.maximum(jnp.sum(lists >= 0, axis=1), 1)
+    unit = jnp.sum(jnp.where(lists >= 0, units, 0.0), axis=1) / ucnt
+    unit = jnp.where(unit == 0.0, 1.0, unit)
+
+    pred = jnp.einsum("bki,bi->bk", A, x)
+    res = jnp.abs(pred - fzs) / unit[:, None]
+    total = jnp.sum(jnp.where(nok, res, 0.0), axis=1)
+    denom = jnp.sum(nok, axis=1) - 5
+    return total / jnp.maximum(denom, 1), denom
+
+
+def filter_neighbor(
+    scene: Scene,
+    grid: gridmod.GridState,
+    table: PatchTable,
+    level: int,
+    csize: int,
+    tau: int,
+    quad_threshold,
+    neighbor_threshold,
+    max_neighbors: int = 48,
+    chunk: int = 1024,
+) -> Tuple[PatchTable, jnp.ndarray]:
+    """filterNeighbor (filter.cpp:265-327): fewer than 6 scene-space
+    neighbors, or a too-large quadric residual, kills the patch."""
+    N = table.capacity
+    n_chunks = (N + chunk - 1) // chunk
+    rows_all = jnp.arange(n_chunks * chunk, dtype=jnp.int32) % N
+    rows_all = rows_all.reshape(n_chunks, chunk)
+
+    def one(rows):
+        nbrs, count = gather_neighbors(
+            scene, grid, table, rows, level, csize,
+            margin=2, scale=4.0, neighbor_threshold=neighbor_threshold,
+            max_neighbors=max_neighbors,
+        )
+        resid, denom = quad_residuals(scene, table, rows, nbrs, level, tau)
+        reject = (count < 6) | ((denom >= 1) & (resid >= quad_threshold))
+        return reject
+
+    rejects = lax.map(one, rows_all).reshape(-1)[:N]
+    kill = table.alive & rejects
+    return table._replace(alive=table.alive & ~kill), jnp.sum(kill)
+
+
+# ----------------------------------------------------------------------
+# filterSmallGroups
+# ----------------------------------------------------------------------
+
+def filter_small_groups(
+    scene: Scene,
+    grid: gridmod.GridState,
+    table: PatchTable,
+    level: int,
+    csize: int,
+    neighbor_threshold2,
+    iters: int = 32,
+) -> Tuple[PatchTable, jnp.ndarray]:
+    """filterSmallGroups (filter.cpp:432-578): connected components
+    under isNeighbor over the reference-view 3x3 cell graph; components
+    smaller than max(20, alive/10000) are removed. BFS becomes
+    min-label propagation with path halving (pointer jumping), so
+    convergence is exponential in `iters`."""
+    N, M = table.images.shape
+    gh, gw = grid.slots.shape[1], grid.slots.shape[2]
+
+    ref_list = table.images[:, :1]
+    cx, cy, valid = _cell_coords(scene, table.coord, ref_list, level, csize)
+    cx, cy, valid = cx[:, 0], cy[:, 0], valid[:, 0]
+    img = jnp.maximum(table.images[:, 0], 0)
+
+    cands = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ty, tx = cy + dy, cx + dx
+            inb = valid & (ty >= 0) & (ty < gh) & (tx >= 0) & (tx < gw)
+            tyc = jnp.clip(ty, 0, gh - 1)
+            txc = jnp.clip(tx, 0, gw - 1)
+            cands.append(jnp.where(inb[:, None], grid.slots[img, tyc, txc], -1))
+            cands.append(jnp.where(inb[:, None], grid.vslots[img, tyc, txc], -1))
+    cand = jnp.concatenate(cands, axis=1)  # [N, Kc]
+
+    cidx = jnp.maximum(cand, 0)
+    me = jnp.arange(N, dtype=jnp.int32)
+    hunit = (
+        (
+            _ref_unit(scene, table, me, level)[:, None]
+            + _ref_unit(scene, table, cidx, level)
+        )
+        / 2.0
+        * csize
+    )
+    edge = (
+        (cand >= 0)
+        & table.alive[cidx]
+        & table.alive[:, None]
+        & is_neighbor_pairs(
+            scene, table, me[:, None], cidx, hunit, neighbor_threshold2
+        )
+    )
+
+    label = jnp.where(table.alive, me, N)
+
+    def body(_, label):
+        nl = jnp.min(
+            jnp.where(edge, label[cidx], N), axis=1, initial=N
+        )
+        label = jnp.minimum(label, nl)
+        # path halving: label <- label[label]
+        label = jnp.minimum(label, jnp.where(label < N, label.at[jnp.clip(label, 0, N - 1)].get(mode="clip"), N))
+        return label
+
+    label = lax.fori_loop(0, iters, body, label)
+
+    sizes = jnp.zeros((N + 1,), jnp.int32).at[jnp.clip(label, 0, N)].add(
+        jnp.where(table.alive, 1, 0)
+    )
+    psize = jnp.sum(table.alive)
+    threshold = jnp.maximum(20, psize // 10000)
+    small = sizes[jnp.clip(label, 0, N)] < threshold
+    kill = table.alive & small
+    return table._replace(alive=table.alive & ~kill), jnp.sum(kill)
+
+
+# ----------------------------------------------------------------------
+# orchestration
+# ----------------------------------------------------------------------
+
+class FilterStats(NamedTuple):
+    outside: jnp.ndarray
+    exact: jnp.ndarray
+    neighbor: jnp.ndarray
+    groups: jnp.ndarray
+
+
+def rebuild(
+    scene: Scene,
+    table: PatchTable,
+    level: int,
+    csize: int,
+    capacity: int,
+    neighbor_threshold,
+    additive: bool,
+    use_depth: bool = True,
+) -> Tuple[PatchTable, gridmod.GridState]:
+    """setDepthMapsVGridsVPGridsAddPatchV (filter.cpp:628-655): rebuild
+    depth maps, (re)derive vimages (cleared first when additive=0), and
+    rebuild the v-grids."""
+    if not additive:
+        table = table._replace(vimages=jnp.full_like(table.vimages, -1))
+    grid = gridmod.build_grid(scene, table, level, csize, capacity)
+    vimages = gridmod.set_vimages(
+        scene, grid, table, level, csize, neighbor_threshold, use_depth
+    )
+    table = table._replace(vimages=vimages)
+    grid = gridmod.build_grid(scene, table, level, csize, capacity)
+    return table, grid
+
+
+def run_filters(
+    scene: Scene,
+    table: PatchTable,
+    *,
+    level: int,
+    csize: int,
+    wsize: int,
+    tau: int,
+    min_image_num: int,
+    cell_capacity: int,
+    ncc_threshold,
+    quad_threshold,
+    neighbor_threshold,
+    neighbor_threshold1,
+    neighbor_threshold2,
+    angle_threshold1: float,
+    neighbor_chunk: int = 1024,
+) -> Tuple[PatchTable, FilterStats]:
+    """Filter::run (reference filter.cpp:25-49)."""
+    table, grid = rebuild(
+        scene, table, level, csize, cell_capacity, neighbor_threshold,
+        additive=False,
+    )
+    table, n_out = filter_outside(
+        scene, grid, table, level, csize, ncc_threshold, neighbor_threshold1
+    )
+
+    table, grid = rebuild(
+        scene, table, level, csize, cell_capacity, neighbor_threshold,
+        additive=True,
+    )
+    table, n_exact = filter_exact(
+        scene, grid, table, level, csize, wsize, min_image_num,
+        neighbor_threshold1, angle_threshold1,
+    )
+
+    table, grid = rebuild(
+        scene, table, level, csize, cell_capacity, neighbor_threshold,
+        additive=True,
+    )
+    table, n_nb = filter_neighbor(
+        scene, grid, table, level, csize, tau, quad_threshold,
+        neighbor_threshold, chunk=neighbor_chunk,
+    )
+
+    table, grid = rebuild(
+        scene, table, level, csize, cell_capacity, neighbor_threshold,
+        additive=True,
+    )
+    table, n_grp = filter_small_groups(
+        scene, grid, table, level, csize, neighbor_threshold2
+    )
+
+    table, _ = rebuild(
+        scene, table, level, csize, cell_capacity, neighbor_threshold,
+        additive=True,
+    )
+    return table, FilterStats(n_out, n_exact, n_nb, n_grp)
