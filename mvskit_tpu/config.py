@@ -66,6 +66,9 @@ class MVSConfig:
     max_num_of_propag: int = 2
 
     # ---- TPU-native knobs ----
+    prop_rounds: int = 8                     # checkerboard rounds per outer iter
+    donor_budget: int = 16384                # max donors per propagation phase
+    gauntlet_chunk: int = 4096               # hypothesis batch per gauntlet step
     cell_capacity: Optional[int] = None      # slots per cell; default 2*csize^2
     filter_cell_capacity: int = 16           # larger cap used by filter passes
     max_patches: int = 1 << 18               # flat patch-table capacity

@@ -31,7 +31,7 @@ from ..geometry import camera as cam
 from ..image.scene import Scene
 from .patches import PatchTable
 
-INF = jnp.float32(1e30)
+INF = float(1e30)
 
 
 def grid_dims(scene: Scene, level: int, csize: int) -> Tuple[int, int]:

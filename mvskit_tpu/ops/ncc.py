@@ -20,7 +20,7 @@ from ..geometry import camera as cam
 from ..image.scene import Scene
 from . import sampling
 
-BIG = jnp.float32(2**30)
+BIG = float(2**30)
 
 
 def robustincc(incc):

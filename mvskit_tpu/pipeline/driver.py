@@ -1,0 +1,248 @@
+"""Pipeline driver (the reference's PmMvps class).
+
+Owns the scene, the patch table, the threshold schedule, and the
+iteration loop (reference pmmvps/pmmvps.cpp:18-114): seed ->
+[propagate -> snapshot -> filter -> anneal -> snapshot] x 3. The
+annealed thresholds are passed into the jitted stages as traced scalars
+so the schedule never retriggers compilation.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MVSConfig
+from ..core import patches as pt
+from ..image.scene import Scene, load_scene
+from ..io import patch_io, ply
+from ..ops import sampling
+from . import filters as fl
+from . import propagate as pr
+from . import seed as seedmod
+
+
+class PMMVS:
+    def __init__(self, cfg: MVSConfig, scene: Optional[Scene] = None,
+                 log=print):
+        self.cfg = cfg
+        self.log = log
+        self.scene = scene if scene is not None else load_scene(
+            cfg.prefix, cfg.images, cfg.nillums, cfg.max_level
+        )
+        self.table: Optional[pt.PatchTable] = None
+        # mutable threshold state (annealed; reference pmmvps.cpp:70-74)
+        self.ncc_threshold = cfg.ncc_threshold
+        self.ncc_threshold_before = cfg.ncc_threshold_before
+        self.count_threshold1 = cfg.count_threshold1
+        self.depth = 0
+        self._key = jax.random.PRNGKey(0)
+
+        self._prop_step = jax.jit(
+            pr.propagate_round,
+            static_argnames=("p", "direction", "use_depth"),
+        )
+        self._filter_step = jax.jit(
+            functools.partial(
+                fl.run_filters,
+                level=cfg.level,
+                csize=cfg.csize,
+                wsize=cfg.wsize,
+                tau=cfg.tau,
+                min_image_num=cfg.min_image_num,
+                cell_capacity=cfg.filter_cell_capacity,
+                neighbor_threshold=cfg.neighbor_threshold,
+                neighbor_threshold1=cfg.neighbor_threshold1,
+                neighbor_threshold2=cfg.neighbor_threshold2,
+                angle_threshold1=cfg.angle_threshold1,
+            )
+        )
+
+    # ------------------------------------------------------------------
+    @property
+    def prop_params(self) -> pr.PropagateParams:
+        cfg = self.cfg
+        return pr.PropagateParams(
+            level=cfg.level,
+            csize=cfg.csize,
+            wsize=cfg.wsize,
+            tau=cfg.tau,
+            min_image_num=cfg.min_image_num,
+            cell_capacity=cfg.max_patches_per_cell,
+            angle_threshold0=cfg.angle_threshold0,
+            angle_threshold1=cfg.angle_threshold1,
+            max_angle_threshold=cfg.max_angle_threshold,
+            ascale=cfg.ascale,
+            refine_rounds=cfg.refine_rounds,
+            refine_cands=cfg.refine_cands,
+            refine_shrink=cfg.refine_shrink,
+            refine_depth_radius=cfg.refine_init_depth_radius,
+            refine_angle_radius=cfg.refine_init_angle_radius,
+            neighbor_threshold=cfg.neighbor_threshold,
+            donor_budget=cfg.donor_budget,
+            chunk=cfg.gauntlet_chunk,
+        )
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ------------------------------------------------------------------
+    def seed(self, resume_iter: int = 0) -> None:
+        """DepthNormInit::createPatches + depth counter bump
+        (reference pmmvps.cpp:84-85)."""
+        self.table = seedmod.seed(
+            self.scene, self.cfg, self.cfg.prefix, resume_iter
+        )
+        self.depth = 1
+        self.log(
+            f"seeded {int(np.asarray(self.table.n_alive()))} patches"
+        )
+
+    def propagate(self, iteration: int) -> pr.RoundStats:
+        """One outer expansion phase: cfg.prop_rounds checkerboard
+        rounds, sweep direction from the iteration parity (reference
+        propagate.cpp:80-85)."""
+        direction = 1 if iteration % 2 == 0 else -1
+        total = None
+        for _ in range(self.cfg.prop_rounds):
+            self.table, stats = self._prop_step(
+                self.scene,
+                self.table,
+                self._next_key(),
+                p=self.prop_params,
+                direction=direction,
+                ncc_threshold=jnp.float32(self.ncc_threshold),
+                ncc_threshold_before=jnp.float32(self.ncc_threshold_before),
+                use_depth=self.depth > 0,
+            )
+            total = stats if total is None else pr.RoundStats(
+                *(a + b for a, b in zip(total, stats))
+            )
+        t, f0, f1, p_ = (int(np.asarray(v)) for v in total)
+        self.log(
+            f"iter {iteration}: total {t} pass {p_} fail0 {f0} fail1 {f1} "
+            f"alive {int(np.asarray(self.table.n_alive()))}"
+        )
+        return total
+
+    def filter(self) -> fl.FilterStats:
+        self.table, stats = self._filter_step(
+            self.scene,
+            self.table,
+            ncc_threshold=jnp.float32(self.ncc_threshold),
+            quad_threshold=jnp.float32(self.cfg.quad_threshold),
+        )
+        o, e, n, g = (int(np.asarray(v)) for v in stats)
+        self.log(
+            f"filters removed: outside {o} exact {e} neighbor {n} "
+            f"groups {g}; alive {int(np.asarray(self.table.n_alive()))}"
+        )
+        return stats
+
+    def update_threshold(self) -> None:
+        """Threshold annealing (reference pmmvps.cpp:70-74)."""
+        self.ncc_threshold -= self.cfg.anneal_ncc_step
+        self.ncc_threshold_before -= self.cfg.anneal_ncc_step
+        self.count_threshold1 = 2
+
+    def run(self, write_snapshots: bool = True) -> None:
+        """PmMvps::run (reference pmmvps.cpp:76-114)."""
+        t0 = time.time()
+        if self.table is None:
+            self.seed()
+        for it in range(self.cfg.n_iterations):
+            self.log(f"--- iteration {it} ---")
+            self.propagate(it)
+            if write_snapshots:
+                self.write_patches(
+                    os.path.join(
+                        self.cfg.prefix, "ply",
+                        f"refined_patches_before_refine_{it}",
+                    )
+                )
+            self.filter()
+            self.update_threshold()
+            self.depth += 1
+            if write_snapshots:
+                self.write_patches(
+                    os.path.join(
+                        self.cfg.prefix, "ply", f"refined_patches_{it}"
+                    )
+                )
+        self.log(f"---- Total: {time.time() - t0:.1f} secs ----")
+
+    # ------------------------------------------------------------------
+    def collect(self) -> Dict[str, np.ndarray]:
+        """Alive patches on the host."""
+        t = self.table
+        alive = np.asarray(t.alive)
+        idx = np.nonzero(alive)[0]
+        return {
+            "coord": np.asarray(t.coord)[idx],
+            "normal": np.asarray(t.normal)[idx],
+            "ncc": np.asarray(t.ncc)[idx],
+            "dscale": np.asarray(t.dscale)[idx],
+            "ascale": np.asarray(t.ascale)[idx],
+            "images": np.asarray(t.images)[idx],
+            "vimages": np.asarray(t.vimages)[idx],
+        }
+
+    def patch_colors(self, coord: np.ndarray, images: np.ndarray) -> np.ndarray:
+        """Mean color over a patch's views (reference
+        patch_manager.cpp:566-587, mode 0)."""
+        c = jnp.asarray(coord, jnp.float32)
+        idx = jnp.maximum(jnp.asarray(images), 0)
+        cols = sampling.color_at_coord(
+            self.scene, idx, c[:, None, :], self.cfg.level
+        )
+        valid = (jnp.asarray(images) >= 0)[..., None]
+        denom = jnp.maximum(jnp.sum(valid, axis=1), 1)
+        mean = jnp.sum(jnp.where(valid, cols, 0.0), axis=1) / denom
+        out = np.asarray(jnp.floor(mean + 0.5))
+        return np.clip(out, 0, 255).astype(np.uint8)
+
+    def write_patches(
+        self,
+        path_prefix: str,
+        export_ply: bool = True,
+        export_patch: bool = False,
+        binary_ply: bool = False,
+    ) -> None:
+        """PatchManager::writePatches (reference
+        patch_manager.cpp:499-540)."""
+        data = self.collect()
+        os.makedirs(os.path.dirname(os.path.abspath(path_prefix)), exist_ok=True)
+        if export_ply:
+            rgb = self.patch_colors(data["coord"], data["images"])
+            ply.write_ply(
+                path_prefix + ".ply",
+                data["coord"][:, :3],
+                normal=data["normal"][:, :3],
+                rgb=rgb,
+                binary=binary_ply,
+            )
+        if export_patch:
+            ids = np.asarray(self.cfg.images, dtype=np.int64)
+
+            def translate(padded):
+                return [
+                    [int(ids[v]) for v in row[row >= 0]] for row in padded
+                ]
+
+            patch_io.write_patch_file(
+                path_prefix + ".patch",
+                data["coord"],
+                data["normal"],
+                data["ncc"],
+                data["dscale"],
+                data["ascale"],
+                translate(data["images"]),
+                translate(data["vimages"]),
+            )

@@ -33,7 +33,7 @@ from ..geometry import camera as cam
 from ..image.scene import Scene
 from ..pipeline import views as vw
 
-INF = jnp.float32(1e30)
+INF = float(1e30)
 COS120 = -0.5
 
 

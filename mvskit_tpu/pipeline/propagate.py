@@ -32,7 +32,7 @@ from ..ops import ncc as nccops
 from . import refine as rf
 from . import views as vw
 
-NEG = jnp.float32(-1e30)
+NEG = float(-1e30)
 
 
 class PropagateParams(NamedTuple):

@@ -31,7 +31,7 @@ from ..image.scene import Scene
 from ..ops import ncc as nccops
 from ..ops import sampling
 
-INF = jnp.float32(1e30)
+INF = float(1e30)
 
 
 def _unit_rays(scene: Scene, view_ids, coord):

@@ -124,6 +124,85 @@ def plane_scene(
     return Ps, imgs, scene
 
 
+def write_dataset(
+    prefix: str,
+    n_views: int = 6,
+    width: int = 160,
+    height: int = 120,
+    n_seeds: int = 64,
+    seed: int = 0,
+    level: int = 1,
+    csize: int = 2,
+    wsize: int = 7,
+    min_image_num: int = 3,
+    normal_stride: int = 2,
+) -> None:
+    """Write a complete dataset directory in the reference's contract
+    (SURVEY.md §1): option file, image/%04d%04d.ppm, txt/%08d.txt
+    CONTOUR cameras, ply/00000000.ply seed cloud and per-view
+    pixel-indexed camera-frame normal maps ply/%08d.ply."""
+    import os
+
+    from ..io import ply as plyio
+
+    os.makedirs(os.path.join(prefix, "image"), exist_ok=True)
+    os.makedirs(os.path.join(prefix, "txt"), exist_ok=True)
+    os.makedirs(os.path.join(prefix, "ply"), exist_ok=True)
+
+    Ps = ring_cameras(n_views, width, height)
+    imgs = render_plane_views(Ps, width, height, seed=seed)
+
+    with open(os.path.join(prefix, "option"), "w") as f:
+        f.write(
+            f"level {level}\ncsize {csize}\nthreshold 0.7\nwsize {wsize}\n"
+            f"minImageNum {min_image_num}\nCPU 8\nmaxAngle 10\nquad 2.5\n"
+            f"images -1 0 {n_views}\n"
+        )
+
+    for i in range(n_views):
+        # binary PPM (P6)
+        with open(
+            os.path.join(prefix, "image", f"{i:04d}{0:04d}.ppm"), "wb"
+        ) as f:
+            f.write(f"P6\n{width} {height}\n255\n".encode())
+            f.write(imgs[i].tobytes())
+        # CONTOUR camera
+        flat = Ps[i].reshape(-1)
+        with open(os.path.join(prefix, "txt", f"{i:08d}.txt"), "w") as f:
+            f.write("CONTOUR\n")
+            f.write(" ".join(repr(float(v)) for v in flat[:6]) + "\n")
+            f.write(" ".join(repr(float(v)) for v in flat[6:12]) + "\n")
+
+    # seed cloud on the true surface
+    coord, _ = plane_points(Ps, n_seeds, seed=seed + 1, extent=0.8)
+    plyio.write_ply(
+        os.path.join(prefix, "ply", "00000000.ply"), coord[:, :3]
+    )
+
+    # Per-view normal maps. The reference decodes these as
+    # n_world = R @ n_file with R the world->camera rotation
+    # (depth_normal_init.cpp:134-138), so the writer emits
+    # n_file = R^T @ n_world to round-trip under that convention.
+    from ..pipeline.seed import rq_decompose
+
+    n_world = np.array([0.0, 0.0, 1.0])
+    for i in range(n_views):
+        _, R = rq_decompose(Ps[i][:, :3])
+        n_cam = R.T @ n_world
+        xs, ys = np.meshgrid(
+            np.arange(0, width, normal_stride),
+            np.arange(0, height, normal_stride),
+        )
+        pts = np.stack(
+            [xs.ravel(), ys.ravel(), np.zeros(xs.size)], axis=1
+        ).astype(np.float64)
+        normals = np.tile(n_cam, (pts.shape[0], 1))
+        plyio.write_ply(
+            os.path.join(prefix, "ply", f"{i + 1:08d}.ply"), pts,
+            normal=normals,
+        )
+
+
 def plane_points(
     Ps: np.ndarray, n_points: int, seed: int = 1, extent: float = 1.5
 ) -> Tuple[np.ndarray, np.ndarray]:
