@@ -1,0 +1,171 @@
+"""Benchmark: NCC + PatchMatch refinement throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Msamples/s", "vs_baseline": N}
+
+A "sample" is one bilinear RGB texture fetch inside the NCC objective —
+the unit of work that dominates the reference's runtime (SURVEY.md
+§3.3: one refinement is up to 500 evals x tau views x wsize^2 fetches).
+The benchmark times the jitted refine_batch (the batched replacement
+for Optim::refinePatch, reference pmmvps/optim.cpp:470-547) on a
+dinoSparseRing-scale synthetic scene (16 views, 640x480).
+
+vs_baseline compares against the single-threaded C++ hot-loop
+microbenchmark (native/ref_hotloop.cpp) measured on this host, per
+BASELINE.md ("measure on C++ reference (CPU)"). The baseline number is
+cached in native/baseline_cpu.json.
+"""
+
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def cpu_baseline_msps() -> float:
+    cache = os.path.join(REPO, "native", "baseline_cpu.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)["msamples_per_s"]
+    src = os.path.join(REPO, "native", "ref_hotloop.cpp")
+    exe = os.path.join(REPO, "native", "ref_hotloop")
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-o", exe, src],
+        check=True, capture_output=True,
+    )
+    out = subprocess.run(
+        [exe, "100000"], check=True, capture_output=True, text=True,
+        timeout=600,
+    )
+    val = float(out.stdout.strip())
+    with open(cache, "w") as f:
+        json.dump({"msamples_per_s": val}, f)
+    return val
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache: remote compiles through the axon tunnel
+    # are slow and flaky; cache hits skip them entirely
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from mvskit_tpu.pipeline import refine as rf
+    from mvskit_tpu.pipeline import views as vw
+    from mvskit_tpu.utils.synthetic import plane_points, plane_scene
+
+    # dinoSparseRing-scale scene (16 views, 640x480, level 1)
+    n_views, w, h = 16, 640, 480
+    level, wsize, tau = 1, 7, 6
+    rounds_lo = int(os.environ.get("BENCH_ROUNDS_LO", 24))
+    rounds_hi = int(os.environ.get("BENCH_ROUNDS_HI", 120))
+    cands = 8
+    B = int(os.environ.get("BENCH_BATCH", 8192))
+    a1 = math.radians(60.0)
+
+    print(f"building scene {n_views}x{w}x{h}...", file=sys.stderr)
+    Ps, _, scene = plane_scene(n_views=n_views, width=w, height=h,
+                               max_level=level + 3)
+    coord, normal = plane_points(Ps, B, extent=1.2)
+    coord = jnp.asarray(coord, jnp.float32)
+    normal = jnp.asarray(normal, jnp.float32)
+
+    # pass the scene as a traced argument — closing over it would bake
+    # the pyramid planes into the graph as a giant constant
+    scene = jax.device_put(scene)
+
+    @jax.jit
+    def prep(scene, coord, normal):
+        images = jnp.full((B, n_views), -1, jnp.int32).at[:, 0].set(0)
+        images = vw.add_images(scene, coord, normal, images, level, a1)
+        images = vw.sort_images(scene, coord, normal, images, level)
+        dscale, _ = vw.set_scales(scene, coord, images, level, tau, wsize)
+        return images, dscale
+
+    print("prep...", file=sys.stderr)
+    images, dscale = jax.block_until_ready(prep(scene, coord, normal))
+
+    # Timing on the axon remote backend: block_until_ready does not
+    # reliably block, long single programs can crash the remote worker,
+    # and every synchronized dispatch pays ~0.5s tunnel latency. So the
+    # measurement is DIFFERENTIAL: the same batch at two inner-round
+    # counts; the time difference cancels dispatch latency and fixed
+    # per-call costs while keeping each program short.
+
+    def make_step(rounds):
+        def step(scene, coord, normal, images, dscale, key):
+            res = rf.refine_batch(
+                scene, coord, normal, images, dscale, key,
+                level=level, wsize=wsize, tau=tau, min_image_num=3,
+                angle_threshold1=a1, ascale=math.pi / 48.0,
+                rounds=rounds, n_cands=cands, shrink=0.98,
+                init_depth_radius=4.0, init_angle_radius=8.0,
+            )
+            return res.ncc
+
+        return jax.jit(step)
+
+    jlo = make_step(rounds_lo)
+    jhi = make_step(rounds_hi)
+    key = jax.random.PRNGKey(0)
+    print(f"compiling ({rounds_lo} and {rounds_hi} rounds)...", file=sys.stderr)
+    t0 = time.time()
+    out = np.asarray(jlo(scene, coord, normal, images, dscale, key))
+    np.asarray(jhi(scene, coord, normal, images, dscale, key))
+    print(f"compile+first runs {time.time() - t0:.1f}s", file=sys.stderr)
+
+    def timed(fn, sub):
+        t0 = time.time()
+        r = np.asarray(fn(scene, coord, normal, images, dscale, sub))
+        return time.time() - t0, r
+
+    t_lo, t_hi = [], []
+    for i in range(3):
+        key, s1 = jax.random.split(key)
+        key, s2 = jax.random.split(key)
+        d1, out = timed(jlo, s1)
+        d2, _ = timed(jhi, s2)
+        t_lo.append(d1)
+        t_hi.append(d2)
+        print(f"  rep {i}: lo {d1*1e3:.0f} ms, hi {d2*1e3:.0f} ms",
+              file=sys.stderr)
+    dt = max(1e-9, min(t_hi) - min(t_lo))
+
+    evals_delta = (rounds_hi - rounds_lo) * cands
+    samples = B * evals_delta * tau * wsize * wsize
+    msps = samples / dt / 1e6
+    print(
+        f"batch {B}, delta {evals_delta} evals/patch in {dt*1e3:.1f} ms "
+        f"-> {msps:.1f} Msamples/s "
+        f"(median ncc {float(np.median(out)):.3f})",
+        file=sys.stderr,
+    )
+
+    try:
+        base = cpu_baseline_msps()
+    except Exception as e:  # baseline failure must not kill the bench
+        print(f"baseline failed: {e}", file=sys.stderr)
+        base = None
+
+    result = {
+        "metric": "ncc_refine_throughput",
+        "value": round(msps, 2),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps / base, 2) if base else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,12 @@ plane into each candidate view (bilinear, with per-(patch,view) dynamic
 pyramid level), zero-mean/unit-RMS normalize, and reduce to robust
 inverse-NCC scores. Everything is one jit region; the per-view axis is
 a vectorized dimension rather than the reference's serial view loop.
+
+Layout: window tensors are CHANNEL-LEADING, ``tex[3, ..., S]`` with the
+window-sample axis minor-most. The minor two dims of any TPU array tile
+to (8, 128); a trailing (S=49, C=3) pair pads ~36x and OOMs large
+batches, while (..., S) pads only 49->128 (measured: the layout change
+took the refinement step from >15 GB HLO temps to <0.5 GB).
 """
 
 from __future__ import annotations
@@ -44,32 +50,16 @@ def _unit_ray_to_camera(scene: Scene, index, coord):
     return ray / n[..., None]
 
 
-def get_tex(
-    scene: Scene,
-    index,
-    coord,
-    pxaxis,
-    pyaxis,
-    normal,
-    level: int,
-    wsize: int,
-    angle_threshold1: float,
-    illum=0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Grab one normalized-lattice texture window per (hypothesis, view).
+def window_geometry(
+    scene: Scene, idx, coord, pxaxis, pyaxis, normal, level: int,
+    wsize: int, angle_threshold1: float,
+):
+    """The geometric half of Optim::getTex (reference optim.cpp:790-822):
+    viewing-angle gate, footprint-driven level shift, border-safety
+    check, and the projected lattice origin/steps at the final level.
 
-    Mirrors Optim::getTex (reference optim.cpp:790-844):
-      * viewing-angle gate: ray . normal >= cos(angle_threshold1)
-      * auto level shift from the projected footprint
-        (levelDiff = round(log2((|dx|+|dy|)/2)), clamped to [-level, 2])
-      * border-safety margin of 2px at the resolved level (getTexSafe,
-        optim.cpp:895-915)
-      * wsize^2 bilinear samples on the projected lattice.
-
-    index/coord/... have a common batch shape [...]; returns
-    (tex[..., wsize*wsize, 3], valid[...]).
-    """
-    idx = jnp.maximum(jnp.asarray(index, jnp.int32), 0)  # safe gather index
+    Returns (tl[..., 2], dx[..., 2], dy[..., 2], new_level[...],
+    valid[...])."""
     ray = _unit_ray_to_camera(scene, idx, coord)
     weight = jnp.maximum(0.0, _dot4(ray, normal))
     valid_angle = weight >= math.cos(angle_threshold1)
@@ -108,34 +98,56 @@ def get_tex(
         & (maxxy[..., 1] < h_l - 1.0 - margin2)
     )
     valid = valid_angle & valid_safe & c_ok
-
-    # lattice: tl + x*dx + y*dy for (y, x) in wsize^2
     tl = c2 - half - halfy
-    xs = jnp.arange(wsize, dtype=jnp.float32)
-    # samp[..., y, x, 2]
-    samp = (
-        tl[..., None, None, :]
-        + dx2[..., None, None, :] * xs[None, :, None]
-        + dy2[..., None, None, :] * xs[:, None, None]
+    return tl, dx2, dy2, new_level, valid
+
+
+def get_tex(
+    scene: Scene,
+    index,
+    coord,
+    pxaxis,
+    pyaxis,
+    normal,
+    level: int,
+    wsize: int,
+    angle_threshold1: float,
+    illum=0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Texture window per (hypothesis, view): Optim::getTex (reference
+    optim.cpp:790-844). Batch shape [...]; returns
+    (tex[3, ..., wsize*wsize], valid[...])."""
+    idx = jnp.maximum(jnp.asarray(index, jnp.int32), 0)
+    tl, dx2, dy2, new_level, valid = window_geometry(
+        scene, idx, coord, pxaxis, pyaxis, normal, level, wsize,
+        angle_threshold1,
     )
     s = wsize * wsize
-    samp = samp.reshape(samp.shape[:-3] + (s, 2))
-    lvl = jnp.broadcast_to(new_level[..., None], samp.shape[:-1])
-    iidx = jnp.broadcast_to(idx[..., None], samp.shape[:-1])
-    tex = sampling.sample_color(
-        scene, iidx, samp[..., 0], samp[..., 1], lvl, illum
+    xs = jnp.arange(wsize, dtype=jnp.float32)
+    # lattice coordinates as [..., S] per component (no trailing 2-dim)
+    lat_x = jnp.tile(xs, wsize)      # sample index -> x offset count
+    lat_y = jnp.repeat(xs, wsize)    # sample index -> y offset count
+    shape = tl.shape[:-1] + (s,)
+    gx = (
+        tl[..., 0, None] + dx2[..., 0, None] * lat_x + dy2[..., 0, None] * lat_y
     )
+    gy = (
+        tl[..., 1, None] + dx2[..., 1, None] * lat_x + dy2[..., 1, None] * lat_y
+    )
+    lvl = jnp.broadcast_to(new_level[..., None], shape)
+    iidx = jnp.broadcast_to(idx[..., None], shape)
+    tex = sampling.sample_color_ch(scene, iidx, gx, gy, lvl, illum)
     return tex, valid
 
 
 def normalize_tex(tex):
     """Zero-mean, unit-RMS normalization (reference optim.cpp:917-940).
 
-    tex: [..., S, 3] -> same shape."""
-    s = tex.shape[-2]
-    ave = jnp.mean(tex, axis=-2, keepdims=True)
+    tex: [3, ..., S] -> same shape."""
+    s = tex.shape[-1]
+    ave = jnp.mean(tex, axis=-1, keepdims=True)
     diff = tex - ave
-    ssd = jnp.sum(diff * diff, axis=(-1, -2), keepdims=True)
+    ssd = jnp.sum(diff * diff, axis=(0, -1), keepdims=True)
     msd = jnp.sqrt(ssd / (3.0 * s))
     msd = jnp.where(msd == 0.0, 1.0, msd)
     return diff / msd
@@ -143,9 +155,9 @@ def normalize_tex(tex):
 
 def tex_dot(tex0, tex1):
     """Mean elementwise product (reference optim.cpp:601-609):
-    sum(t0 . t1) / (3 * S)."""
-    s = tex0.shape[-2]
-    return jnp.sum(tex0 * tex1, axis=(-1, -2)) / (3.0 * s)
+    sum over channels and samples / (3 * S). Inputs [3, ..., S]."""
+    s = tex0.shape[-1]
+    return jnp.sum(tex0 * tex1, axis=(0, -1)) / (3.0 * s)
 
 
 def texs_for_views(
@@ -162,7 +174,7 @@ def texs_for_views(
 
     Plane axes come from the *reference* view views[:, 0] (reference
     optim.cpp:635-638: getPAxes on indexes[0] only). views == -1 marks
-    padding. Returns (tex[B, T, S, 3] normalized, valid[B, T])."""
+    padding. Returns (tex[3, B, T, S] normalized, valid[B, T])."""
     ref = jnp.maximum(views[..., 0], 0)
     pxaxis, pyaxis = cam.get_paxes(scene.cams, ref, coord, normal, level)
 
@@ -172,16 +184,8 @@ def texs_for_views(
     vpx = jnp.broadcast_to(pxaxis[:, None, :], (B, T, 4))
     vpy = jnp.broadcast_to(pyaxis[:, None, :], (B, T, 4))
     tex, valid = get_tex(
-        scene,
-        views,
-        vcoord,
-        vpx,
-        vpy,
-        vnormal,
-        level,
-        wsize,
-        angle_threshold1,
-        illum,
+        scene, views, vcoord, vpx, vpy, vnormal, level, wsize,
+        angle_threshold1, illum,
     )
     valid = valid & (views >= 0)
     tex = normalize_tex(tex)
@@ -194,9 +198,9 @@ def incc_cost(tex, valid, minimum):
     2.0 when the reference window is invalid or fewer than minimum-1
     others are valid.
 
-    tex: [B, T, S, 3] normalized; valid: [B, T]; minimum: [B] or scalar.
+    tex: [3, B, T, S] normalized; valid: [B, T]; minimum: [B] or scalar.
     Returns cost [B]."""
-    dots = tex_dot(tex[:, :1], tex)  # [B, T]
+    dots = tex_dot(tex[:, :, :1], tex)  # [B, T]
     r = robustincc(1.0 - dots)
     ok = valid & valid[:, :1]
     ok = ok.at[:, 0].set(False)
@@ -210,7 +214,7 @@ def incc_cost(tex, valid, minimum):
 def incc_weighted(tex, valid, weights, robust: bool = True):
     """computeINCC aggregation (reference optim.cpp:684-706): weighted
     mean of [robust]incc(1 - dot(ref, other)); 2.0 when no weight."""
-    dots = tex_dot(tex[:, :1], tex)
+    dots = tex_dot(tex[:, :, :1], tex)
     incc = 1.0 - dots
     if robust:
         incc = robustincc(incc)
@@ -225,7 +229,7 @@ def incc_weighted(tex, valid, weights, robust: bool = True):
 def incc_vs_ref(tex, valid, robust: bool):
     """Per-view INCC against the reference view (reference
     optim.cpp:708-746): entry 0 is 0; invalid entries are 2."""
-    dots = tex_dot(tex[:, :1], tex)
+    dots = tex_dot(tex[:, :, :1], tex)
     incc = 1.0 - dots
     if robust:
         incc = robustincc(incc)
@@ -238,7 +242,8 @@ def incc_pairwise(tex, valid, robust: bool):
     """All-pairs INCC matrix [B, T, T] (reference optim.cpp:748-783);
     diagonal 0, invalid pairs 2."""
     B, T = valid.shape
-    dots = jnp.einsum("btsc,busc->btu", tex, tex) / (3.0 * tex.shape[-2])
+    s = tex.shape[-1]
+    dots = jnp.einsum("cbts,cbus->btu", tex, tex) / (3.0 * s)
     incc = 1.0 - dots
     if robust:
         incc = robustincc(incc)

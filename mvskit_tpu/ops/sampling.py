@@ -19,6 +19,54 @@ def _flatten_planes(scene: Scene):
     return scene.planes.reshape(n * ni * t, 3), ni, t
 
 
+def sample_color_ch(scene: Scene, image_idx, x, y, level, illum=0):
+    """Bilinear color fetch, channel-LEADING output [3, ...].
+
+    TPU layout note: the minor-most two dims of any materialized array
+    tile to (8, 128) on TPU, so window tensors must never end in a
+    small channel/tap axis (a trailing (49, 3) pads 36x). This variant
+    gathers each RGB channel separately from the flat interleaved plane
+    buffer and accumulates the four bilinear taps immediately, so the
+    hot path only ever materializes [..., S]-shaped arrays.
+    """
+    flat = scene.planes.reshape(-1)  # interleaved RGB
+    ni = scene.planes.shape[1]
+    t = scene.planes.shape[2]
+    level = jnp.asarray(level, dtype=jnp.int32)
+    off = scene.lvl_offsets[level]
+    w = scene.lvl_widths[level]
+    h = scene.lvl_heights[level]
+
+    lx = jnp.clip(x.astype(jnp.int32), 0, w - 2)
+    ly = jnp.clip(y.astype(jnp.int32), 0, h - 2)
+    dx1 = jnp.clip(x - lx.astype(x.dtype), 0.0, 1.0)
+    dy1 = jnp.clip(y - ly.astype(y.dtype), 0.0, 1.0)
+    dx0 = 1.0 - dx1
+    dy0 = 1.0 - dy1
+    f00 = dx0 * dy0
+    f10 = dx1 * dy0
+    f01 = dx0 * dy1
+    f11 = dx1 * dy1
+
+    base = (
+        (jnp.asarray(image_idx, jnp.int32) * ni + illum) * t
+        + off + ly * w + lx
+    ) * 3
+    row = w * 3
+
+    chans = []
+    for c in range(3):
+        b = base + c
+        v = (
+            jnp.take(flat, b) * f00
+            + jnp.take(flat, b + 3) * f10
+            + jnp.take(flat, b + row) * f01
+            + jnp.take(flat, b + row + 3) * f11
+        )
+        chans.append(v)
+    return jnp.stack(chans, axis=0)
+
+
 def sample_color(scene: Scene, image_idx, x, y, level, illum=0):
     """Bilinear color fetch at float pixel coords (x, y) of `level`.
 

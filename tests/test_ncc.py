@@ -101,11 +101,12 @@ def test_invalid_ref_gives_two(scene_pts):
 
 def test_normalize_zero_mean_unit_rms():
     rng = np.random.RandomState(0)
-    tex = jnp.asarray(rng.uniform(0, 255, size=(4, 49, 3)), jnp.float32)
+    # channel-leading layout [3, B, S]
+    tex = jnp.asarray(rng.uniform(0, 255, size=(3, 4, 49)), jnp.float32)
     out = ncc.normalize_tex(tex)
-    means = np.asarray(jnp.mean(out, axis=(1,)))
+    means = np.asarray(jnp.mean(out, axis=-1))
     np.testing.assert_allclose(means, 0.0, atol=1e-3)
-    rms = np.asarray(jnp.sqrt(jnp.sum(out * out, axis=(1, 2)) / (3 * 49)))
+    rms = np.asarray(jnp.sqrt(jnp.sum(out * out, axis=(0, 2)) / (3 * 49)))
     np.testing.assert_allclose(rms, 1.0, atol=1e-3)
     # self-dot of a normalized window is 1
     np.testing.assert_allclose(
