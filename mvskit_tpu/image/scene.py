@@ -49,32 +49,51 @@ def level_dims(width: int, height: int, max_level: int) -> Tuple[Tuple[int, ...]
     return tuple(ws), tuple(hs)
 
 
-def downsample_once(img: np.ndarray) -> np.ndarray:
-    """One pyramid level step on a [H, W, C] float image; returns the
-    unquantized float result (caller re-quantizes)."""
+def downsample_once(img: np.ndarray, filter: int = 0) -> np.ndarray:
+    """One pyramid level step on a [H, W, C] float image.
+
+    filter mirrors the reference (image.cpp:284-298):
+      0 = [1 3 3 1]^2 weighted average (the live path),
+      1 = max over the 4x4 support,
+      2 = min over the 4x4 support.
+    Returns the unquantized float result (caller re-quantizes)."""
     h, w = img.shape[:2]
     ho, wo = h // 2, w // 2
     src = np.array(img, dtype=np.float32)
     # reference image.cpp:270/276: parent row/col h-1, w-1 never contribute
     src[h - 1, :] = 0.0
     src[:, w - 1] = 0.0
-    pad = np.zeros((h + 3, w + 3) + img.shape[2:], dtype=np.float32)
+    fill = 0.0 if filter != 2 else 255.0
+    pad = np.full((h + 3, w + 3) + img.shape[2:], fill, dtype=np.float32)
     pad[1 : 1 + h, 1 : 1 + w] = src
-    out = np.zeros((ho, wo) + img.shape[2:], dtype=np.float32)
+    if filter == 0:
+        out = np.zeros((ho, wo) + img.shape[2:], dtype=np.float32)
+    elif filter == 1:
+        out = np.zeros((ho, wo) + img.shape[2:], dtype=np.float32)
+    else:
+        out = np.full((ho, wo) + img.shape[2:], 255.0, dtype=np.float32)
     for i in range(-1, 3):
         for j in range(-1, 3):
-            out += _K2D[i + 1, j + 1] * pad[
+            tap = pad[
                 1 + i : 1 + i + 2 * ho : 2, 1 + j : 1 + j + 2 * wo : 2
             ]
+            if filter == 0:
+                out += _K2D[i + 1, j + 1] * tap
+            elif filter == 1:
+                out = np.maximum(out, tap)
+            else:
+                out = np.minimum(out, tap)
     return out
 
 
-def build_pyramid(img_u8: np.ndarray, max_level: int) -> List[np.ndarray]:
+def build_pyramid(
+    img_u8: np.ndarray, max_level: int, filter: int = 0
+) -> List[np.ndarray]:
     """Full image pyramid, re-quantized to uint8 values per level
     (kept as float32 for the device)."""
     levels = [np.asarray(img_u8, dtype=np.float32)]
     for _ in range(1, max_level):
-        down = downsample_once(levels[-1])
+        down = downsample_once(levels[-1], filter)
         down = np.clip(np.floor(down + 0.5), 0.0, 255.0)
         levels.append(down.astype(np.float32))
     return levels

@@ -272,6 +272,37 @@ def compute_weights(scene: Scene, views, coord, normal, level: int):
     return w.at[:, 0].set(1.0)
 
 
+def compute_patch_ncc_illums(
+    scene: Scene,
+    views,
+    coord,
+    normal,
+    level: int,
+    wsize: int,
+    tau: int,
+    angle_threshold1: float,
+):
+    """Multi-illumination NCC: the weighted robust INCC averaged over
+    the illumination axis (the capability of the reference's
+    multi-illum getTex, optim.cpp:846-893, whose consuming cost path
+    was left dormant — each illumination is scored against the same
+    geometry and the robust scores are averaged). Falls back to the
+    single-illum score when the scene has one illumination."""
+    v = views[:, :tau]
+    weights = compute_weights(scene, v, coord, normal, level)
+    nviews = jnp.sum(views >= 0, axis=1)
+    scores = []
+    for il in range(scene.n_illums):
+        tex, valid = texs_for_views(
+            scene, v, coord, normal, level, wsize, angle_threshold1,
+            illum=il,
+        )
+        s = incc_weighted(tex, valid, weights, robust=True)
+        scores.append(jnp.where(nviews < 2, 2.0, s))
+    score = sum(scores) / len(scores)
+    return 1.0 - unrobustincc(score)
+
+
 def compute_patch_ncc(
     scene: Scene,
     views,

@@ -104,6 +104,53 @@ def sample_color(scene: Scene, image_idx, x, y, level, illum=0):
     return jnp.sum(taps * wts[..., None], axis=-2)
 
 
+def sample_color_bicubic(scene: Scene, image_idx, x, y, level, illum=0):
+    """Bicubic color fetch (reference image.cpp:345-446, the
+    PMMVPS_IMAGE_BICUBIC variant): 4x4 Catmull-Rom-style taps with the
+    reference's exact weight polynomials. Channel-leading [3, ...]."""
+    flat = scene.planes.reshape(-1)
+    ni = scene.planes.shape[1]
+    t = scene.planes.shape[2]
+    level = jnp.asarray(level, dtype=jnp.int32)
+    off = scene.lvl_offsets[level]
+    w = scene.lvl_widths[level]
+    h = scene.lvl_heights[level]
+
+    x1 = jnp.clip(jnp.floor(x).astype(jnp.int32), 1, w - 3)
+    y1 = jnp.clip(jnp.floor(y).astype(jnp.int32), 1, h - 3)
+    p = jnp.clip(x - x1.astype(x.dtype), 0.0, 1.0)
+    q = jnp.clip(y - y1.astype(y.dtype), 0.0, 1.0)
+
+    def w0(f):  # weight at offset -1 (reference: (((-1)f+5)f-8)f+4 at f=1+t)
+        g = 1.0 + f
+        return ((-g + 5.0) * g - 8.0) * g + 4.0
+
+    def w1(f):  # weight at offset 0
+        return ((f - 2.0) * f) * f + 1.0
+
+    wx = (w0(p), w1(p), w1(1.0 - p), w0(1.0 - p))
+    wy = (w0(q), w1(q), w1(1.0 - q), w0(1.0 - q))
+
+    base = (
+        (jnp.asarray(image_idx, jnp.int32) * ni + illum) * t
+        + off + (y1 - 1) * w + (x1 - 1)
+    ) * 3
+    row = w * 3
+
+    chans = []
+    for c in range(3):
+        acc = 0.0
+        for j in range(4):
+            rowacc = 0.0
+            for i in range(4):
+                rowacc = rowacc + jnp.take(
+                    flat, base + c + j * row + i * 3
+                ) * wx[i]
+            acc = acc + rowacc * wy[j]
+        chans.append(acc)
+    return jnp.stack(chans, axis=0)
+
+
 def sample_mask(scene: Scene, image_idx, x, y, level):
     """Nearest-neighbor mask lookup (reference image.cpp:749-781).
 

@@ -87,6 +87,8 @@ class PMMVS:
             neighbor_threshold=cfg.neighbor_threshold,
             donor_budget=cfg.donor_budget,
             chunk=cfg.gauntlet_chunk,
+            neighbor_threshold1=cfg.neighbor_threshold1,
+            depth2_check=self.depth >= 2,
         )
 
     def _next_key(self):
@@ -121,6 +123,7 @@ class PMMVS:
                 ncc_threshold=jnp.float32(self.ncc_threshold),
                 ncc_threshold_before=jnp.float32(self.ncc_threshold_before),
                 use_depth=self.depth > 0,
+                quad_threshold=jnp.float32(self.cfg.quad_threshold),
             )
             total = stats if total is None else pr.RoundStats(
                 *(a + b for a, b in zip(total, stats))

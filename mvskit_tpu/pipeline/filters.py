@@ -91,6 +91,112 @@ def _cell_coords(scene: Scene, coord, lists, level: int, csize: int):
 # filterOutside
 # ----------------------------------------------------------------------
 
+def gain_batch(
+    scene: Scene,
+    grid: gridmod.GridState,
+    table: PatchTable,
+    coord,
+    normal,
+    dscale,
+    ncc,
+    images,
+    vimages,
+    self_rows,
+    level: int,
+    csize: int,
+    ncc_threshold,
+    neighbor_threshold1,
+) -> jnp.ndarray:
+    """Filter::computeGain for an arbitrary batch of patches
+    (filter.cpp:108-146). `self_rows` [B] gives the table row of each
+    batch entry (so a patch never presses on itself); pass -1 rows for
+    hypotheses not in the table (reference Optim::check runs the same
+    gain on not-yet-inserted patches, optim.cpp:300-309)."""
+    B = coord.shape[0]
+    nimg = count_valid(images).astype(jnp.float32)
+    gains = jnp.maximum(0.0, ncc - ncc_threshold) * nimg
+
+    ref = jnp.maximum(images[:, 0], 0)
+    self_unit = cam.get_unit(scene.cams, ref, coord, level)
+
+    def pressure_over(lists, slots, need_depth_gate):
+        cx, cy, valid = _cell_coords(scene, coord, lists, level, csize)
+        img = jnp.maximum(lists, 0)
+        cxs = jnp.clip(cx, 0, grid.slots.shape[2] - 1)
+        cys = jnp.clip(cy, 0, grid.slots.shape[1] - 1)
+        cell = slots[img, cys, cxs]          # [B, M, S]
+        occupied = cell >= 0
+        cidx = jnp.maximum(cell, 0)
+
+        hunit = (
+            (
+                self_unit[:, None, None]
+                + _ref_unit(scene, table, cidx, level)
+            )
+            / 2.0
+            * csize
+        )
+        nb = _is_neighbor_vs_table(
+            scene, table, coord, normal, dscale, cidx, hunit,
+            neighbor_threshold1,
+        )
+        press = table.ncc[cidx] - ncc_threshold
+        use = (
+            occupied
+            & valid[..., None]
+            & ~nb
+            & (cidx != self_rows[:, None, None])
+        )
+        if need_depth_gate:
+            # only co-cell patches BEHIND this patch press on it
+            # (filter.cpp:136-141)
+            pdepth = jnp.einsum(
+                "bmc,bc->bm", scene.cams.oaxis[img], coord
+            )[..., None]
+            bdepth = jnp.sum(
+                scene.cams.oaxis[img][:, :, None, :] * table.coord[cidx],
+                axis=-1,
+            )
+            use = use & (pdepth < bdepth)
+        maxp = jnp.max(
+            jnp.where(use, press, 0.0), axis=2, initial=0.0
+        )  # [B, M]
+        return jnp.sum(jnp.where(valid, maxp, 0.0), axis=1)
+
+    gains = gains - pressure_over(images, grid.slots, False)
+    gains = gains - pressure_over(vimages, grid.slots, True)
+    return gains
+
+
+def _is_neighbor_vs_table(
+    scene, table, coord, normal, dscale, b_idx, hunit, threshold,
+    radius=None,
+):
+    """isNeighbor between explicit self patches (broadcast over b_idx's
+    trailing dims) and table rows b_idx."""
+    expand = (slice(None),) + (None,) * (b_idx.ndim - 1)
+    na = normal[expand]
+    ds = dscale[expand]
+    ca = coord[expand]
+    nb = table.normal[b_idx]
+    ndot = jnp.sum(na * nb, axis=-1)
+
+    diff = ca - table.coord[b_idx]
+    vunit = ds + table.dscale[b_idx]
+    vunit = jnp.where(vunit == 0.0, 1e-6, vunit)
+    f0 = jnp.sum(na * diff, axis=-1)
+    f1 = jnp.sum(nb * diff, axis=-1)
+    ftmp = (jnp.abs(f0) + jnp.abs(f1)) / 2.0 / vunit
+
+    hvec = (diff - f0[..., None] * na) + (diff - f1[..., None] * nb)
+    hsize = jnp.sqrt(jnp.maximum(jnp.sum(hvec * hvec, axis=-1), 0.0)) / 2.0 / hunit
+    ftmp = jnp.where(hsize > 1.0, ftmp / jnp.minimum(2.0, hsize), ftmp)
+    ok = (ndot >= COS120) & (ftmp < threshold)
+    if radius is not None:
+        ok &= hsize <= radius / hunit
+    return ok
+
+
 def compute_gains(
     scene: Scene,
     grid: gridmod.GridState,
@@ -100,53 +206,15 @@ def compute_gains(
     ncc_threshold,
     neighbor_threshold1,
 ) -> jnp.ndarray:
-    """Filter::computeGain for every alive patch (filter.cpp:108-146)."""
-    N, M = table.images.shape
-    S = grid.slots.shape[-1]
-    gains = score2(table, ncc_threshold)
-
-    def pressure_over(lists, slots, need_depth_gate):
-        cx, cy, valid = _cell_coords(scene, table.coord, lists, level, csize)
-        img = jnp.maximum(lists, 0)
-        cxs = jnp.clip(cx, 0, grid.slots.shape[2] - 1)
-        cys = jnp.clip(cy, 0, grid.slots.shape[1] - 1)
-        cell = slots[img, cys, cxs]          # [N, M, S]
-        occupied = cell >= 0
-        cidx = jnp.maximum(cell, 0)
-
-        me = jnp.arange(N, dtype=jnp.int32)[:, None, None]
-        hunit = (
-            (
-                _ref_unit(scene, table, me[:, 0, 0], level)[:, None, None]
-                + _ref_unit(scene, table, cidx, level)
-            )
-            / 2.0
-            * csize
-        )
-        nb = is_neighbor_pairs(
-            scene, table, me, cidx, hunit, neighbor_threshold1
-        )
-        press = table.ncc[cidx] - ncc_threshold
-        use = occupied & valid[..., None] & ~nb & (cidx != me)
-        if need_depth_gate:
-            # only co-cell patches BEHIND this patch press on it
-            # (filter.cpp:136-141)
-            pdepth = jnp.einsum(
-                "nmc,nc->nm", scene.cams.oaxis[img], table.coord
-            )[..., None]
-            bdepth = jnp.sum(
-                scene.cams.oaxis[img][:, :, None, :] * table.coord[cidx],
-                axis=-1,
-            )
-            use = use & (pdepth < bdepth)
-        maxp = jnp.max(
-            jnp.where(use, press, 0.0), axis=2, initial=0.0
-        )  # [N, M]
-        return jnp.sum(jnp.where(valid, maxp, 0.0), axis=1)
-
-    gains = gains - pressure_over(table.images, grid.slots, False)
-    gains = gains - pressure_over(table.vimages, grid.slots, True)
-    return gains
+    """Filter::computeGain for every table row (filter.cpp:108-146)."""
+    N = table.capacity
+    return gain_batch(
+        scene, grid, table,
+        table.coord, table.normal, table.dscale, table.ncc,
+        table.images, table.vimages,
+        jnp.arange(N, dtype=jnp.int32),
+        level, csize, ncc_threshold, neighbor_threshold1,
+    )
 
 
 def filter_outside(
@@ -221,16 +289,20 @@ def filter_exact(
 # neighbor gathering (findNeighbors) + filterNeighbor/filterQuad
 # ----------------------------------------------------------------------
 
-def compute_radius(scene: Scene, table: PatchTable, level: int, csize: int):
+def compute_radius_batch(scene: Scene, coord, normal, images, level: int, csize: int):
     """Propagate::computeRadius (reference propagate.cpp:474-481):
     second-smallest per-view unit times csize."""
     from ..ops.ncc import compute_units
 
-    units = compute_units(
-        scene, table.images, table.coord, table.normal, level
-    )  # [N, M], BIG for invalid
+    units = compute_units(scene, images, coord, normal, level)
     two = -lax.top_k(-units, 2)[0]  # two smallest
     return two[:, 1] * csize
+
+
+def compute_radius(scene: Scene, table: PatchTable, level: int, csize: int):
+    return compute_radius_batch(
+        scene, table.coord, table.normal, table.images, level, csize
+    )
 
 
 def gather_neighbors(
@@ -251,17 +323,41 @@ def gather_neighbors(
     vpgrids, gated by isNeighborRadius, deduplicated, first
     `max_neighbors` returned. Returns (nbrs[B, K] i32 -1-pad, count[B]
     total distinct BEFORE capping)."""
-    B = rows.shape[0]
+    return gather_neighbors_batch(
+        scene, grid, table,
+        table.coord[rows], table.normal[rows], table.dscale[rows],
+        table.images[rows], rows,
+        level, csize, margin, scale, neighbor_threshold, max_neighbors,
+    )
+
+
+def gather_neighbors_batch(
+    scene: Scene,
+    grid: gridmod.GridState,
+    table: PatchTable,
+    coord,
+    normal,
+    dscale,
+    lists,
+    self_rows,
+    level: int,
+    csize: int,
+    margin: int,
+    scale: float,
+    neighbor_threshold,
+    max_neighbors: int,
+):
+    """findNeighbors for explicit self-patch attributes (the in-gauntlet
+    check runs it on hypotheses not yet in the table)."""
+    B = coord.shape[0]
     N, M = table.images.shape
-    S = grid.slots.shape[-1]
-    Sv = grid.vslots.shape[-1]
     gh, gw = grid.slots.shape[1], grid.slots.shape[2]
 
-    coord = table.coord[rows]
-    lists = table.images[rows]
     cx, cy, valid = _cell_coords(scene, coord, lists, level, csize)
 
-    radius = 1.5 * margin * compute_radius(scene, table, level, csize)[rows]
+    radius = 1.5 * margin * compute_radius_batch(
+        scene, coord, normal, lists, level, csize
+    )
     # mean unit over images * csize (patch_manager.cpp:675-680)
     idx = jnp.maximum(lists, 0)
     units = cam.get_unit(scene.cams, idx, coord[:, None, :], level)
@@ -287,9 +383,9 @@ def gather_neighbors(
     cand = jnp.concatenate(cands, axis=1)  # [B, Kc]
 
     cidx = jnp.maximum(cand, 0)
-    ok = (cand >= 0) & table.alive[cidx] & (cidx != rows[:, None])
-    nb = is_neighbor_pairs(
-        scene, table, rows[:, None], cidx,
+    ok = (cand >= 0) & table.alive[cidx] & (cidx != self_rows[:, None])
+    nb = _is_neighbor_vs_table(
+        scene, table, coord, normal, dscale, cidx,
         hunit[:, None], neighbor_threshold * scale, radius[:, None],
     )
     ok &= nb
@@ -328,10 +424,19 @@ def _ortho(z):
     return x, y
 
 
-def quad_residuals(
+def quad_residuals(scene, table, rows, nbrs, level, tau):
+    return quad_residuals_batch(
+        scene, table, table.coord[rows], table.normal[rows],
+        table.images[rows], nbrs, level, tau,
+    )
+
+
+def quad_residuals_batch(
     scene: Scene,
     table: PatchTable,
-    rows,
+    coord,
+    normal,
+    images,
     nbrs,
     level: int,
     tau: int,
@@ -341,8 +446,6 @@ def quad_residuals(
     and return the mean |residual| / unit, normalized by (nsize - 5).
     Masked least squares via 5x5 normal equations."""
     B, K = nbrs.shape
-    coord = table.coord[rows]
-    normal = table.normal[rows]
     xdir, ydir = _ortho(normal)
 
     nok = nbrs >= 0
@@ -367,7 +470,7 @@ def quad_residuals(
 
     # unit = mean getUnit over the first min(tau, |images|) views
     # (filter.cpp:368-374)
-    lists = table.images[rows][:, :tau]
+    lists = images[:, :tau]
     idx = jnp.maximum(lists, 0)
     units = cam.get_unit(scene.cams, idx, coord[:, None, :], level)
     ucnt = jnp.maximum(jnp.sum(lists >= 0, axis=1), 1)
@@ -587,3 +690,52 @@ def run_filters(
         additive=True,
     )
     return table, FilterStats(n_out, n_exact, n_nb, n_grp)
+
+
+# ----------------------------------------------------------------------
+# in-gauntlet check (depth >= 2)
+# ----------------------------------------------------------------------
+
+def check_batch(
+    scene: Scene,
+    grid: gridmod.GridState,
+    table: PatchTable,
+    coord,
+    normal,
+    dscale,
+    ncc,
+    images,
+    vimages,
+    *,
+    level: int,
+    csize: int,
+    tau: int,
+    ncc_threshold,
+    quad_threshold,
+    neighbor_threshold,
+    neighbor_threshold1,
+    max_neighbors: int = 48,
+):
+    """Optim::check (reference optim.cpp:300-323), run on hypothesis
+    batches during propagation once depth >= 2: reject when the
+    occlusion gain is negative, or when >6 scene-space neighbors exist
+    and the quadric residual is too large. Returns reject mask [B]."""
+    B = coord.shape[0]
+    no_rows = jnp.full((B,), -1, jnp.int32)
+    gains = gain_batch(
+        scene, grid, table, coord, normal, dscale, ncc, images, vimages,
+        no_rows, level, csize, ncc_threshold, neighbor_threshold1,
+    )
+    reject = gains < 0.0
+
+    nbrs, count = gather_neighbors_batch(
+        scene, grid, table, coord, normal, dscale, images, no_rows,
+        level, csize, margin=2, scale=4.0,
+        neighbor_threshold=neighbor_threshold,
+        max_neighbors=max_neighbors,
+    )
+    resid, denom = quad_residuals_batch(
+        scene, table, coord, normal, images, nbrs, level, tau
+    )
+    reject |= (count > 6) & (denom >= 1) & (resid >= quad_threshold)
+    return reject

@@ -55,6 +55,8 @@ class PropagateParams(NamedTuple):
     neighbor_threshold: float
     donor_budget: int
     chunk: int
+    neighbor_threshold1: float = 1.0
+    depth2_check: bool = False
 
 
 class RoundStats(NamedTuple):
@@ -176,6 +178,7 @@ def run_gauntlet(
     ncc_threshold,
     ncc_threshold_before,
     use_depth: bool,
+    quad_threshold=2.5,
 ) -> GauntletOut:
     """preProcess -> refinePatch -> postProcess for a hypothesis batch
     (the gauntlet of reference propagate.cpp:182-196)."""
@@ -217,6 +220,25 @@ def run_gauntlet(
         jnp.full_like(post_images, -1), ok,
         p.level, p.csize, p.neighbor_threshold, use_depth,
     )
+
+    if p.depth2_check:
+        # Optim::check (reference optim.cpp:292-295, 300-323): once
+        # depth >= 2 the gauntlet also applies the occlusion-gain and
+        # quadric tests against the round-start grid
+        from . import filters as fl
+
+        reject = fl.check_batch(
+            scene, grid, table, res.coord, res.normal, pre.dscale,
+            res.ncc, post_images, vimages,
+            level=p.level, csize=p.csize, tau=p.tau,
+            ncc_threshold=ncc_threshold,
+            quad_threshold=quad_threshold,
+            neighbor_threshold=p.neighbor_threshold,
+            neighbor_threshold1=p.neighbor_threshold1,
+        )
+        fail1 = fail1 | (ok & reject)
+        ok = ok & ~reject
+
     return GauntletOut(
         coord=res.coord, normal=res.normal, images=post_images,
         vimages=vimages, ncc=res.ncc, dscale=pre.dscale,
@@ -269,6 +291,7 @@ def propagate_round(
     ncc_threshold,
     ncc_threshold_before,
     use_depth: bool = True,
+    quad_threshold=2.5,
 ) -> Tuple[PatchTable, RoundStats]:
     """One propagation round: x phase then y phase (the two spatial
     directions of reference propagate.cpp:106-108)."""
@@ -295,6 +318,7 @@ def propagate_round(
         out = _gauntlet_chunked(
             scene, grid, table, coord, normal, images, ok, k2, p,
             ncc_threshold, ncc_threshold_before, use_depth,
+            quad_threshold,
         )
         table = insert_patches(table, out)
         stats = RoundStats(
@@ -308,7 +332,7 @@ def propagate_round(
 
 def _gauntlet_chunked(
     scene, grid, table, coord, normal, images, ok, key, p,
-    ncc_threshold, ncc_threshold_before, use_depth,
+    ncc_threshold, ncc_threshold_before, use_depth, quad_threshold=2.5,
 ) -> GauntletOut:
     H = coord.shape[0]
     C = min(p.chunk, H)
@@ -328,6 +352,7 @@ def _gauntlet_chunked(
         return run_gauntlet(
             scene, grid, table, c, n, im, o, k, p,
             ncc_threshold, ncc_threshold_before, use_depth,
+            quad_threshold,
         )
 
     outs = lax.map(

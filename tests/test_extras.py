@@ -1,0 +1,118 @@
+"""Tests for auxiliary capabilities: multi-illumination scoring,
+bicubic sampling, pyramid filter variants, profiling utilities, and the
+in-gauntlet depth>=2 check."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvskit_tpu.image import scene as sc
+from mvskit_tpu.ops import ncc, sampling
+from mvskit_tpu.utils import synthetic
+from mvskit_tpu.utils.profiling import Counters, PhaseTimer
+
+LEVEL = 1
+WSIZE = 7
+A1 = np.deg2rad(60.0)
+
+
+def test_multi_illum_ncc():
+    Ps = synthetic.ring_cameras(6, 160, 120)
+    il0 = synthetic.render_plane_views(Ps, 160, 120, seed=0)
+    il1 = synthetic.render_plane_views(Ps, 160, 120, seed=5)
+    imgs = [np.stack([a, b]) for a, b in zip(il0, il1)]
+    scene = sc.scene_from_arrays(Ps, imgs, max_level=4)
+    assert scene.n_illums == 2
+
+    coord, normal = synthetic.plane_points(Ps, 16, extent=0.6)
+    views = jnp.asarray(np.tile(np.arange(6, dtype=np.int32), (16, 1)))
+    coord = jnp.asarray(coord, jnp.float32)
+    normal = jnp.asarray(normal, jnp.float32)
+    s = np.asarray(ncc.compute_patch_ncc_illums(
+        scene, views, coord, normal, LEVEL, WSIZE, 6, A1
+    ))
+    ok = s <= 1.0
+    assert ok.sum() >= 8
+    assert np.median(s[ok]) > 0.9
+    # off-surface drops under both illuminations
+    off = coord + jnp.asarray([0.0, 0.0, 0.15, 0.0])
+    s2 = np.asarray(ncc.compute_patch_ncc_illums(
+        scene, views, off, normal, LEVEL, WSIZE, 6, A1
+    ))
+    both = ok & (s2 <= 1.0)
+    assert np.median(s[both]) > np.median(s2[both])
+
+
+def test_bicubic_interpolates_lattice():
+    Ps, imgs, scene = synthetic.plane_scene(n_views=2, width=64, height=48)
+    col = sampling.sample_color_bicubic(
+        scene, jnp.asarray(1), jnp.asarray(10.0), jnp.asarray(7.0),
+        jnp.asarray(0),
+    )
+    # exact at lattice points (weights collapse to identity)
+    np.testing.assert_allclose(np.asarray(col), imgs[1][7, 10], atol=1e-3)
+
+
+def test_pyramid_filter_variants():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    avg = sc.build_pyramid(img, 2, filter=0)[1]
+    mx = sc.build_pyramid(img, 2, filter=1)[1]
+    mn = sc.build_pyramid(img, 2, filter=2)[1]
+    # interior: max >= avg >= min
+    assert np.all(mx[2:-2, 2:-2] >= avg[2:-2, 2:-2] - 1)
+    assert np.all(mn[2:-2, 2:-2] <= avg[2:-2, 2:-2] + 1)
+
+
+def test_profiling_utils():
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert "a" in t.summary()
+    c = Counters()
+    c.add(total=10, passed=7)
+    c.add(total=5, passed=2)
+    assert c.values == {"total": 15, "passed": 9}
+    assert c.rates()["passed"] == pytest.approx(60.0)
+
+
+def test_check_batch_rejects_floater():
+    from mvskit_tpu.pipeline import filters as fl
+    from test_grid import make_seeded_table
+
+    Ps, imgs, scene = synthetic.plane_scene(n_views=8, width=160, height=120)
+    g = np.linspace(-0.4, 0.4, 16)
+    xs, ys = np.meshgrid(g, g)
+    pts = np.stack([xs.ravel(), ys.ravel()], 1)
+    coord = np.concatenate([pts, np.zeros((256, 1)), np.ones((256, 1))], 1)
+    normal = np.tile([[0.0, 0.0, 1.0, 0.0]], (256, 1))
+    table = make_seeded_table(
+        scene, jnp.asarray(coord, jnp.float32),
+        jnp.asarray(normal, jnp.float32), capacity=512,
+    )
+    table, grid = fl.rebuild(scene, table, LEVEL, 2, 8, 0.5, additive=False)
+
+    # hypothesis batch: one on-surface point and one floater 0.3 above
+    hc = jnp.asarray(
+        [[0.0, 0.0, 0.0, 1.0], [0.05, 0.05, 0.3, 1.0]], jnp.float32
+    )
+    hn = jnp.asarray(
+        [[0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 1.0, 0.0]], jnp.float32
+    )
+    himg = jnp.asarray(
+        np.tile(np.arange(8, dtype=np.int32), (2, 1))
+    )
+    hd = jnp.asarray([0.01, 0.01], jnp.float32)
+    hncc = jnp.asarray([0.95, 0.72], jnp.float32)
+    hvim = jnp.full((2, 8), -1, jnp.int32)
+    reject = np.asarray(fl.check_batch(
+        scene, grid, table, hc, hn, hd, hncc, himg, hvim,
+        level=LEVEL, csize=2, tau=6, ncc_threshold=0.7,
+        quad_threshold=2.5, neighbor_threshold=0.5,
+        neighbor_threshold1=1.0,
+    ))
+    assert not reject[0]  # surface hypothesis is consistent
+    assert reject[1]      # weak floater pressed by the surface -> killed
