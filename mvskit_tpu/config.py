@@ -66,6 +66,7 @@ class MVSConfig:
     max_num_of_propag: int = 2
 
     # ---- TPU-native knobs ----
+    strategy: str = "pm_image"               # "pm_image" | "pmvs"
     prop_rounds: int = 8                     # checkerboard rounds per outer iter
     donor_budget: int = 16384                # max donors per propagation phase
     gauntlet_chunk: int = 4096               # hypothesis batch per gauntlet step

@@ -48,6 +48,12 @@ class PMMVS:
             pr.propagate_round,
             static_argnames=("p", "direction", "use_depth"),
         )
+        from . import expand as ex
+
+        self._expand_step = jax.jit(
+            ex.expand_round,
+            static_argnames=("p", "depth", "use_depth"),
+        )
         self._filter_step = jax.jit(
             functools.partial(
                 fl.run_filters,
@@ -108,11 +114,41 @@ class PMMVS:
         )
 
     def propagate(self, iteration: int) -> pr.RoundStats:
-        """One outer expansion phase: cfg.prop_rounds checkerboard
-        rounds, sweep direction from the iteration parity (reference
-        propagate.cpp:80-85)."""
+        """One outer expansion phase: cfg.prop_rounds rounds of the
+        selected strategy — "pm_image" checkerboard propagation (the
+        reference's live path, sweep direction from the iteration
+        parity, propagate.cpp:80-85) or "pmvs" scene-space expansion
+        (the reference's alternative, propagate.cpp:384-691). Effort
+        counters reset per phase (clearCounts, propagate.cpp:36)."""
         direction = 1 if iteration % 2 == 0 else -1
         total = None
+        if self.cfg.strategy == "pmvs":
+            from . import expand as ex
+
+            state = ex.init_state(self.scene, self.cfg.level, self.cfg.csize)
+            for _ in range(self.cfg.prop_rounds):
+                self.table, state, stats = self._expand_step(
+                    self.scene,
+                    self.table,
+                    state,
+                    self._next_key(),
+                    p=self.prop_params,
+                    ncc_threshold=jnp.float32(self.ncc_threshold),
+                    ncc_threshold_before=jnp.float32(self.ncc_threshold_before),
+                    count_threshold=jnp.int32(self.count_threshold1),
+                    depth=self.depth,
+                    use_depth=self.depth > 0,
+                    quad_threshold=jnp.float32(self.cfg.quad_threshold),
+                )
+                total = stats if total is None else pr.RoundStats(
+                    *(a + b for a, b in zip(total, stats))
+                )
+            t, f0, f1, p_ = (int(np.asarray(v)) for v in total)
+            self.log(
+                f"iter {iteration}: total {t} pass {p_} fail0 {f0} "
+                f"fail1 {f1} alive {int(np.asarray(self.table.n_alive()))}"
+            )
+            return total
         for _ in range(self.cfg.prop_rounds):
             self.table, stats = self._prop_step(
                 self.scene,

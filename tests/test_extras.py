@@ -116,3 +116,41 @@ def test_check_batch_rejects_floater():
     ))
     assert not reject[0]  # surface hypothesis is consistent
     assert reject[1]      # weak floater pressed by the surface -> killed
+
+
+def test_pmvs_expansion_strategy():
+    """The scene-space expansion alternative grows the cloud from
+    sparse seeds and stays on the surface."""
+    import jax
+
+    from mvskit_tpu.pipeline import expand as ex
+    from mvskit_tpu.pipeline import propagate as pr
+    from test_grid import make_seeded_table
+    from test_propagate import make_params
+
+    Ps, imgs, scene = synthetic.plane_scene(n_views=8, width=160, height=120)
+    coord, normal = synthetic.plane_points(Ps, 12, seed=3, extent=0.5)
+    table = make_seeded_table(
+        scene, jnp.asarray(coord, jnp.float32),
+        jnp.asarray(normal, jnp.float32), capacity=2048,
+    )
+    p = make_params(donor_budget=96, chunk=48)
+    state = ex.init_state(scene, LEVEL, 2)
+    n0 = int(np.asarray(table.n_alive()))
+    key = jax.random.PRNGKey(2)
+    for r in range(2):
+        key, sub = jax.random.split(key)
+        table, state, stats = ex.expand_round(
+            scene, table, state, sub, p,
+            ncc_threshold=0.7, ncc_threshold_before=0.4,
+            count_threshold=4, depth=1,
+        )
+    n1 = int(np.asarray(table.n_alive()))
+    assert n1 > n0, (n0, n1)
+    alive = np.asarray(table.alive)
+    new = alive.copy()
+    new[:n0] = False
+    z = np.abs(np.asarray(table.coord)[new, 2])
+    assert np.median(z) < 0.05
+    # effort counters incremented where patches landed
+    assert int(np.asarray(state.counts).sum()) > 0
