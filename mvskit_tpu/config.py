@@ -61,6 +61,8 @@ class MVSConfig:
     refine_shrink: float = 0.8               # radius decay per round
     refine_init_depth_radius: float = 4.0    # in encoded (dscale) units
     refine_init_angle_radius: float = 8.0    # in encoded (ascale) units
+    refine_grad_steps: int = 0               # differentiable polish steps
+    refine_grad_lr: float = 0.5
 
     # ---- propagation (reference propagate.cpp:24-25) ----
     max_num_of_propag: int = 2

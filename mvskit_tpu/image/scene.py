@@ -183,6 +183,30 @@ class Scene:
         return self.heights[level]
 
 
+def pairwise_view_distances(scene: "Scene") -> np.ndarray:
+    """PhotoSet::setDistances (reference photoSet.cpp:105-148): optical
+    center distances normalized by their mean, plus an angular penalty
+    max(0, 1 - axis_i . axis_j - cos 10deg). The reference computes this
+    and never consumes it; exposed here as scene statistics (useful for
+    view-pair selection heuristics)."""
+    centers = np.asarray(scene.cams.center)[:, :3]
+    n = centers.shape[0]
+    diff = centers[:, None, :] - centers[None, :, :]
+    dist = np.linalg.norm(diff, axis=-1)
+    off = ~np.eye(n, dtype=bool)
+    denom = off.sum()
+    if denom == 0:
+        return dist
+    avedis = dist[off].mean()
+    if avedis == 0.0:
+        raise ValueError("all the optical centers are identical")
+    dist = dist / avedis
+    axes = np.asarray(scene.cams.oaxis)[:, :3]
+    margin = np.cos(np.deg2rad(10.0))
+    ang = np.maximum(0.0, 1.0 - axes @ axes.T - margin)
+    return dist + ang
+
+
 def scene_from_arrays(
     projections: np.ndarray,
     images: Sequence[np.ndarray],

@@ -95,6 +95,8 @@ class PMMVS:
             chunk=cfg.gauntlet_chunk,
             neighbor_threshold1=cfg.neighbor_threshold1,
             depth2_check=self.depth >= 2,
+            grad_steps=cfg.refine_grad_steps,
+            grad_lr=cfg.refine_grad_lr,
         )
 
     def _next_key(self):

@@ -57,6 +57,8 @@ class PropagateParams(NamedTuple):
     chunk: int
     neighbor_threshold1: float = 1.0
     depth2_check: bool = False
+    grad_steps: int = 0
+    grad_lr: float = 0.5
 
 
 class RoundStats(NamedTuple):
@@ -202,6 +204,7 @@ def run_gauntlet(
         shrink=p.refine_shrink,
         init_depth_radius=p.refine_depth_radius,
         init_angle_radius=p.refine_angle_radius,
+        grad_steps=p.grad_steps, grad_lr=p.grad_lr,
     )
 
     post_images, post_ok, _ = vw.post_process_core(

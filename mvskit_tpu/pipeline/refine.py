@@ -101,6 +101,8 @@ def refine_batch(
     shrink: float,
     init_depth_radius: float,
     init_angle_radius: float,
+    grad_steps: int = 0,
+    grad_lr: float = 0.5,
 ) -> RefineResult:
     """Refine a batch of patches (reference Optim::refinePatch,
     optim.cpp:470-547). `images` is the fixed view list for the whole
@@ -194,6 +196,24 @@ def refine_batch(
     (best_p, best_c, _), _ = lax.scan(
         round_body, (best_p, best_c, radius0), keys
     )
+
+    # optional gradient polish: the NCC objective is differentiable in
+    # the 3 encoded parameters through the bilinear warp (a capability
+    # the reference's derivative-free BOBYQA cannot use); safeguarded
+    # accept-if-better steps so the polish can only improve the cost
+    if grad_steps > 0:
+        grad_fn = jax.grad(lambda p: jnp.sum(cost_of(p)))
+        for _ in range(grad_steps):
+            g = grad_fn(best_p)
+            gn = jnp.sqrt(jnp.maximum(jnp.sum(g * g, axis=-1, keepdims=True), 1e-12))
+            cand = best_p - grad_lr * g / gn
+            cand = cand.at[:, 1:].set(
+                jnp.clip(cand[:, 1:], -ANGLE_BOUND, ANGLE_BOUND)
+            )
+            c = cost_of(cand)
+            improved = c < best_c
+            best_p = jnp.where(improved[:, None], cand, best_p)
+            best_c = jnp.where(improved, c, best_c)
 
     out_coord = decode_coord(center, ray, safe_dscale, best_p[:, 0])
     out_normal = decode_normal(

@@ -104,3 +104,32 @@ def test_refine_noop_at_truth(sp):
     )
     z_after = np.abs(np.asarray(res.coord)[ok, 2])
     assert np.median(z_after) < 0.03
+
+
+def test_gradient_polish_improves(sp):
+    """With gradient polish on, the final cost is never worse and
+    typically better than random search alone at a tiny search budget."""
+    scene, coord, normal, images, dscale = sp
+    ok = np.asarray(images[:, 0]) >= 0
+    ref = jnp.maximum(images[:, 0], 0)
+    ray = coord - scene.cams.center[ref]
+    ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    start = coord + (2.0 * dscale)[:, None] * ray
+
+    kw = dict(
+        level=LEVEL, wsize=WSIZE, tau=TAU, min_image_num=3,
+        angle_threshold1=A1, ascale=ASCALE,
+        rounds=4, n_cands=4, shrink=0.8,
+        init_depth_radius=4.0, init_angle_radius=8.0,
+    )
+    base = rf.refine_batch(
+        scene, start, normal, images, dscale, jax.random.PRNGKey(3), **kw
+    )
+    polished = rf.refine_batch(
+        scene, start, normal, images, dscale, jax.random.PRNGKey(3),
+        grad_steps=4, grad_lr=0.5, **kw
+    )
+    b = np.asarray(base.cost)[ok]
+    p = np.asarray(polished.cost)[ok]
+    assert np.all(p <= b + 1e-5)
+    assert np.mean(p) < np.mean(b)
