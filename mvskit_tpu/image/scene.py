@@ -142,6 +142,8 @@ class Scene:
     lvl_offsets: jnp.ndarray
     lvl_widths: jnp.ndarray
     lvl_heights: jnp.ndarray
+    # optional [n, n] bool covisibility (vis.dat); None = all pairs
+    covis: Optional[jnp.ndarray] = None
     # static:
     widths: Tuple[int, ...] = dataclasses.field(default=())
     heights: Tuple[int, ...] = dataclasses.field(default=())
@@ -156,6 +158,7 @@ class Scene:
             self.lvl_offsets,
             self.lvl_widths,
             self.lvl_heights,
+            self.covis,
         )
         aux = (self.widths, self.heights, self.offsets, self.max_level)
         return children, aux
@@ -276,7 +279,41 @@ def scene_from_arrays(
     )
 
 
-def load_scene(prefix: str, image_ids: Sequence[int], nillums: int, max_level: int) -> Scene:
+def load_visdata(path: str, image_ids: Sequence[int]) -> Optional[np.ndarray]:
+    """Parse a PMVS-style vis.dat covisibility file:
+        VISDATA
+        <n>
+        <id> <k> <id_0> ... <id_{k-1}>   (one row per image)
+    Returns [n, n] bool over the configured image list (diagonal True),
+    or None if the file does not exist. The reference declares the
+    useVisData option but leaves this branch unimplemented
+    (option.cpp:167-169)."""
+    import os as _os
+
+    if not _os.path.exists(path):
+        return None
+    with open(path) as f:
+        toks = f.read().split()
+    if not toks or toks[0] != "VISDATA":
+        raise ValueError(f"bad vis.dat header in {path}")
+    id2idx = {img: i for i, img in enumerate(image_ids)}
+    n = len(image_ids)
+    covis = np.eye(n, dtype=bool)
+    pos = 1
+    count = int(toks[pos]); pos += 1
+    for _ in range(count):
+        img = int(toks[pos]); k = int(toks[pos + 1]); pos += 2
+        row = [int(v) for v in toks[pos : pos + k]]; pos += k
+        if img not in id2idx:
+            continue
+        i = id2idx[img]
+        for v in row:
+            if v in id2idx:
+                covis[i, id2idx[v]] = True
+    return covis
+
+
+def load_scene(prefix: str, image_ids: Sequence[int], nillums: int, max_level: int, use_vis_data: bool = False) -> Scene:
     """Load a scene from the reference dataset directory contract
     (reference photoSet.cpp:20-61):
 
@@ -305,10 +342,15 @@ def load_scene(prefix: str, image_ids: Sequence[int], nillums: int, max_level: i
         images.append(np.stack(illums))
         masks.append(decode.load_mask(os.path.join(prefix, "mask", f"{i:08d}")))
 
-    return scene_from_arrays(
+    scene = scene_from_arrays(
         projections=np.asarray(cams.P, dtype=np.float64),
         images=images,
         masks=masks,
         max_level=max_level,
         cams=cams,
     )
+    if use_vis_data:
+        covis = load_visdata(os.path.join(prefix, "vis.dat"), image_ids)
+        if covis is not None:
+            scene = dataclasses.replace(scene, covis=jnp.asarray(covis))
+    return scene

@@ -34,7 +34,8 @@ class PMMVS:
         self.cfg = cfg
         self.log = log
         self.scene = scene if scene is not None else load_scene(
-            cfg.prefix, cfg.images, cfg.nillums, cfg.max_level
+            cfg.prefix, cfg.images, cfg.nillums, cfg.max_level,
+            use_vis_data=bool(cfg.use_vis_data),
         )
         self.table: Optional[pt.PatchTable] = None
         # mutable threshold state (annealed; reference pmmvps.cpp:70-74)

@@ -77,6 +77,12 @@ def add_images(scene: Scene, coord, normal, images, level: int, angle_threshold0
     rays = _unit_rays(scene, ids[None, :], coord[:, None, :])
     dots = jnp.sum(rays * normal[:, None, :], axis=-1)
     cand = (~member) & pvalid & inb & (dots >= jnp.cos(angle_threshold0))
+    if scene.covis is not None:
+        # vis.dat covisibility: only the reference view's covisible set
+        # is eligible (the visdata2 iteration of reference
+        # optim.cpp:179-180, with a real vis.dat behind it)
+        ref = jnp.maximum(images[:, 0], 0)
+        cand &= scene.covis[ref]
 
     keys = jnp.where(member, pos, jnp.where(cand, M + ids.astype(jnp.float32), INF))
     return compact_by_keys(keys, big=float(INF))

@@ -154,3 +154,28 @@ def test_pmvs_expansion_strategy():
     assert np.median(z) < 0.05
     # effort counters incremented where patches landed
     assert int(np.asarray(state.counts).sum()) > 0
+
+
+def test_visdata_restricts_add_images(tmp_path):
+    import dataclasses
+
+    from mvskit_tpu.image.scene import load_visdata
+    from mvskit_tpu.pipeline import views as vw
+
+    Ps, imgs, scene = synthetic.plane_scene(n_views=4, width=96, height=72)
+    # vis.dat: view 0 only covisible with 1
+    p = tmp_path / "vis.dat"
+    p.write_text("VISDATA\n4\n0 1 1\n1 1 0\n2 1 3\n3 1 2\n")
+    covis = load_visdata(str(p), [0, 1, 2, 3])
+    assert covis is not None and covis[0, 1] and not covis[0, 2]
+    scene2 = dataclasses.replace(scene, covis=jnp.asarray(covis))
+
+    coord, normal = synthetic.plane_points(Ps, 8, extent=0.4)
+    coord = jnp.asarray(coord, jnp.float32)
+    normal = jnp.asarray(normal, jnp.float32)
+    images = jnp.full((8, 4), -1, jnp.int32).at[:, 0].set(0)
+    out_all = np.asarray(vw.add_images(scene, coord, normal, images, 1, A1))
+    out_vis = np.asarray(vw.add_images(scene2, coord, normal, images, 1, A1))
+    assert (out_all >= 0).sum() > (out_vis >= 0).sum()
+    for row in out_vis:
+        assert set(row[row >= 0]) <= {0, 1}
