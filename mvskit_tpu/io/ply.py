@@ -35,7 +35,20 @@ _RGB_NAMES = (
 
 def read_ply(path: str) -> Dict[str, np.ndarray]:
     """Read vertices. Returns dict with 'xyz' [N,3] float64 and, when
-    present, 'normal' [N,3] and 'rgb' [N,3] uint8."""
+    present, 'normal' [N,3] and 'rgb' [N,3] uint8.
+
+    Tries the native C++ reader (io/native.py) first — the analog of the
+    reference's native PLY layer (io/io_file.c) — and falls back to the
+    pure-Python parser for anything it declines."""
+    from . import native
+
+    out = native.read_ply(path)
+    if out is not None:
+        return out
+    return _read_ply_py(path)
+
+
+def _read_ply_py(path: str) -> Dict[str, np.ndarray]:
     with open(path, "rb") as f:
         data = f.read()
 
@@ -116,6 +129,12 @@ def write_ply(
     (reference patch_manager.cpp:545-557)."""
     xyz = np.asarray(xyz, dtype=np.float32)
     n = xyz.shape[0]
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if tuple(rgb_names) == ("diffuse_red", "diffuse_green", "diffuse_blue"):
+        from . import native
+
+        if native.write_ply(path, xyz, normal=normal, rgb=rgb, binary=binary):
+            return
     lines = [
         "ply",
         "format binary_little_endian 1.0" if binary else "format ascii 1.0",

@@ -90,3 +90,24 @@ def test_rq_decompose():
     np.testing.assert_allclose(K2 / K2[2, 2], K, atol=1e-8)
     np.testing.assert_allclose(R2, q, atol=1e-8)
     np.testing.assert_allclose(np.linalg.det(R2), 1.0, atol=1e-10)
+
+
+def test_native_ply_matches_python(tmp_path):
+    """The C++ PLY library round-trips identically to the Python path."""
+    from mvskit_tpu.io import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(5)
+    xyz = rng.uniform(-3, 3, size=(500, 3)).astype(np.float32)
+    normal = rng.normal(size=(500, 3)).astype(np.float32)
+    rgb = rng.randint(0, 256, size=(500, 3)).astype(np.uint8)
+    for binary in (False, True):
+        p = str(tmp_path / f"n_{binary}.ply")
+        assert native.write_ply(p, xyz, normal=normal, rgb=rgb, binary=binary)
+        d_native = native.read_ply(p)
+        d_py = ply._read_ply_py(p)
+        for k in ("xyz", "normal"):
+            np.testing.assert_allclose(d_native[k], d_py[k], rtol=1e-6)
+        np.testing.assert_array_equal(d_native["rgb"], d_py["rgb"])
+        np.testing.assert_allclose(d_native["xyz"], xyz, rtol=1e-6)

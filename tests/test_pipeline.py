@@ -98,3 +98,26 @@ def test_cli_filter_only(dataset):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert os.path.exists(out + ".ply")
+
+
+def test_pipeline_accuracy_completeness(dataset):
+    """Quality gate: the reconstructed cloud must be accurate (on the
+    analytic plane) and complete (covering the seeded region)."""
+    from mvskit_tpu.utils import metrics
+
+    cfg = small_cfg(dataset)
+    engine = PMMVS(cfg, log=lambda *a: None)
+    engine.seed()
+    engine.run(write_snapshots=False)
+    data = engine.collect()
+    cloud = data["coord"][:, :3]
+
+    # ground truth: plane samples over the observed extent
+    g = np.linspace(-0.8, 0.8, 160)
+    xs, ys = np.meshgrid(g, g)
+    gt = np.stack([xs.ravel(), ys.ravel(), np.zeros(xs.size)], axis=1)
+
+    m = metrics.accuracy_completeness(cloud, gt, threshold=0.05)
+    assert m["acc_median"] < 0.02, m      # points lie on the plane
+    assert metrics.plane_rms(cloud) < 0.1, m
+    assert m["n_cloud"] > 50
