@@ -8,11 +8,12 @@ pyramid level), zero-mean/unit-RMS normalize, and reduce to robust
 inverse-NCC scores. Everything is one jit region; the per-view axis is
 a vectorized dimension rather than the reference's serial view loop.
 
-Layout: window tensors are CHANNEL-LEADING, ``tex[3, ..., S]`` with the
-window-sample axis minor-most. The minor two dims of any TPU array tile
-to (8, 128); a trailing (S=49, C=3) pair pads ~36x and OOMs large
-batches, while (..., S) pads only 49->128 (measured: the layout change
-took the refinement step from >15 GB HLO temps to <0.5 GB).
+Layout: window tensors are CHANNEL-LEADING and BATCH-MINOR:
+``tex[3, T, S, B]``. The minor two dims of any TPU array tile to
+(8, 128): a trailing (S=49, C=3) pair pads ~36x (OOM), (T, S) pads
+3.5x, while (S, B) with a large batch pads only 49->56 = 1.14x — and
+the multi-GB padded copies XLA materializes at loop boundaries go away
+with it. Aggregation outputs return batch-major [B]/[B, T] (small).
 """
 
 from __future__ import annotations
@@ -143,11 +144,11 @@ def get_tex(
 def normalize_tex(tex):
     """Zero-mean, unit-RMS normalization (reference optim.cpp:917-940).
 
-    tex: [3, ..., S] -> same shape."""
-    s = tex.shape[-1]
-    ave = jnp.mean(tex, axis=-1, keepdims=True)
+    tex: [3, ..., S, B] (sample axis second-minor) -> same shape."""
+    s = tex.shape[-2]
+    ave = jnp.mean(tex, axis=-2, keepdims=True)
     diff = tex - ave
-    ssd = jnp.sum(diff * diff, axis=(0, -1), keepdims=True)
+    ssd = jnp.sum(diff * diff, axis=(0, -2), keepdims=True)
     msd = jnp.sqrt(ssd / (3.0 * s))
     msd = jnp.where(msd == 0.0, 1.0, msd)
     return diff / msd
@@ -155,9 +156,9 @@ def normalize_tex(tex):
 
 def tex_dot(tex0, tex1):
     """Mean elementwise product (reference optim.cpp:601-609):
-    sum over channels and samples / (3 * S). Inputs [3, ..., S]."""
-    s = tex0.shape[-1]
-    return jnp.sum(tex0 * tex1, axis=(0, -1)) / (3.0 * s)
+    sum over channels and samples / (3 * S). Inputs [3, ..., S, B]."""
+    s = tex0.shape[-2]
+    return jnp.sum(tex0 * tex1, axis=(0, -2)) / (3.0 * s)
 
 
 def texs_for_views(
@@ -174,20 +175,34 @@ def texs_for_views(
 
     Plane axes come from the *reference* view views[:, 0] (reference
     optim.cpp:635-638: getPAxes on indexes[0] only). views == -1 marks
-    padding. Returns (tex[3, B, T, S] normalized, valid[B, T])."""
+    padding. Returns (tex[3, T, S, B] normalized, valid[T, B]) — the
+    batch-minor layout keeps TPU tile padding at ~1.14x."""
     ref = jnp.maximum(views[..., 0], 0)
     pxaxis, pyaxis = cam.get_paxes(scene.cams, ref, coord, normal, level)
 
     B, T = views.shape
-    vcoord = jnp.broadcast_to(coord[:, None, :], (B, T, 4))
-    vnormal = jnp.broadcast_to(normal[:, None, :], (B, T, 4))
-    vpx = jnp.broadcast_to(pxaxis[:, None, :], (B, T, 4))
-    vpy = jnp.broadcast_to(pyaxis[:, None, :], (B, T, 4))
-    tex, valid = get_tex(
-        scene, views, vcoord, vpx, vpy, vnormal, level, wsize,
-        angle_threshold1, illum,
+    views_t = views.T  # [T, B]
+    vcoord = jnp.broadcast_to(coord[None, :, :], (T, B, 4))
+    vnormal = jnp.broadcast_to(normal[None, :, :], (T, B, 4))
+    vpx = jnp.broadcast_to(pxaxis[None, :, :], (T, B, 4))
+    vpy = jnp.broadcast_to(pyaxis[None, :, :], (T, B, 4))
+
+    idx = jnp.maximum(views_t, 0)
+    tl, dx2, dy2, new_level, valid = window_geometry(
+        scene, idx, vcoord, vpx, vpy, vnormal, level, wsize,
+        angle_threshold1,
     )
-    valid = valid & (views >= 0)
+    s = wsize * wsize
+    xs = jnp.arange(wsize, dtype=jnp.float32)
+    lat_x = jnp.tile(xs, wsize)[None, :, None]      # [1, S, 1]
+    lat_y = jnp.repeat(xs, wsize)[None, :, None]
+    gx = tl[:, None, :, 0] + dx2[:, None, :, 0] * lat_x + dy2[:, None, :, 0] * lat_y
+    gy = tl[:, None, :, 1] + dx2[:, None, :, 1] * lat_x + dy2[:, None, :, 1] * lat_y
+    lvl = jnp.broadcast_to(new_level[:, None, :], (T, s, B))
+    iidx = jnp.broadcast_to(idx[:, None, :], (T, s, B))
+    tex = sampling.sample_color_ch(scene, iidx, gx, gy, lvl, illum)
+
+    valid = valid & (views_t >= 0)
     tex = normalize_tex(tex)
     return tex, valid
 
@@ -198,56 +213,60 @@ def incc_cost(tex, valid, minimum):
     2.0 when the reference window is invalid or fewer than minimum-1
     others are valid.
 
-    tex: [3, B, T, S] normalized; valid: [B, T]; minimum: [B] or scalar.
+    tex: [3, T, S, B] normalized; valid: [T, B]; minimum: [B] or scalar.
     Returns cost [B]."""
-    dots = tex_dot(tex[:, :, :1], tex)  # [B, T]
+    dots = tex_dot(tex[:, :1], tex)  # [T, B]
     r = robustincc(1.0 - dots)
-    ok = valid & valid[:, :1]
-    ok = ok.at[:, 0].set(False)
-    denom = jnp.sum(ok, axis=1)
-    ans = jnp.sum(jnp.where(ok, r, 0.0), axis=1)
+    ok = valid & valid[:1]
+    ok = ok.at[0].set(False)
+    denom = jnp.sum(ok, axis=0)
+    ans = jnp.sum(jnp.where(ok, r, 0.0), axis=0)
     cost = ans / jnp.maximum(denom, 1)
     cost = jnp.where(denom >= jnp.asarray(minimum) - 1, cost, 2.0)
-    return jnp.where(valid[:, 0], cost, 2.0)
+    return jnp.where(valid[0], cost, 2.0)
 
 
 def incc_weighted(tex, valid, weights, robust: bool = True):
     """computeINCC aggregation (reference optim.cpp:684-706): weighted
-    mean of [robust]incc(1 - dot(ref, other)); 2.0 when no weight."""
-    dots = tex_dot(tex[:, :, :1], tex)
+    mean of [robust]incc(1 - dot(ref, other)); 2.0 when no weight.
+    weights: batch-major [B, T]."""
+    dots = tex_dot(tex[:, :1], tex)  # [T, B]
     incc = 1.0 - dots
     if robust:
         incc = robustincc(incc)
-    ok = valid & valid[:, :1]
-    ok = ok.at[:, 0].set(False)
-    tw = jnp.sum(jnp.where(ok, weights, 0.0), axis=1)
-    score = jnp.sum(jnp.where(ok, incc * weights, 0.0), axis=1)
+    w = weights.T  # [T, B]
+    ok = valid & valid[:1]
+    ok = ok.at[0].set(False)
+    tw = jnp.sum(jnp.where(ok, w, 0.0), axis=0)
+    score = jnp.sum(jnp.where(ok, incc * w, 0.0), axis=0)
     score = jnp.where(tw > 0.0, score / jnp.where(tw == 0, 1.0, tw), 2.0)
-    return jnp.where(valid[:, 0], score, 2.0)
+    return jnp.where(valid[0], score, 2.0)
 
 
 def incc_vs_ref(tex, valid, robust: bool):
     """Per-view INCC against the reference view (reference
-    optim.cpp:708-746): entry 0 is 0; invalid entries are 2."""
-    dots = tex_dot(tex[:, :, :1], tex)
+    optim.cpp:708-746): entry 0 is 0; invalid entries are 2.
+    Returns batch-major [B, T]."""
+    dots = tex_dot(tex[:, :1], tex)  # [T, B]
     incc = 1.0 - dots
     if robust:
         incc = robustincc(incc)
-    out = jnp.where(valid & valid[:, :1], incc, 2.0)
-    out = out.at[:, 0].set(jnp.where(valid[:, 0], 0.0, 2.0))
-    return out
+    out = jnp.where(valid & valid[:1], incc, 2.0)
+    out = out.at[0].set(jnp.where(valid[0], 0.0, 2.0))
+    return out.T
 
 
 def incc_pairwise(tex, valid, robust: bool):
     """All-pairs INCC matrix [B, T, T] (reference optim.cpp:748-783);
-    diagonal 0, invalid pairs 2."""
-    B, T = valid.shape
-    s = tex.shape[-1]
-    dots = jnp.einsum("cbts,cbus->btu", tex, tex) / (3.0 * s)
+    diagonal 0, invalid pairs 2. tex [3, T, S, B], valid [T, B]."""
+    T, B = valid.shape
+    s = tex.shape[-2]
+    dots = jnp.einsum("ctsb,cusb->btu", tex, tex) / (3.0 * s)
     incc = 1.0 - dots
     if robust:
         incc = robustincc(incc)
-    pair_ok = valid[:, :, None] & valid[:, None, :]
+    vb = valid.T  # [B, T]
+    pair_ok = vb[:, :, None] & vb[:, None, :]
     out = jnp.where(pair_ok, incc, 2.0)
     eye = jnp.eye(T, dtype=bool)[None]
     return jnp.where(eye, 0.0, out)

@@ -152,39 +152,38 @@ def sharded_patch_ncc(
         base = shard * n_local
         lids = base + jnp.arange(n_local, dtype=jnp.int32)
 
-        # windows for the local views (plane axes from the ref view)
+        # windows for the local views, batch-minor (plane axes from the
+        # ref view): tex [3, V, S, B], valid [V, B]
         Bb = coordb.shape[0]
-        vcoord = jnp.broadcast_to(coordb[:, None, :], (Bb, n_local, 4))
-        vnorm = jnp.broadcast_to(normalb[:, None, :], (Bb, n_local, 4))
-        vpx = jnp.broadcast_to(px[:, None, :], (Bb, n_local, 4))
-        vpy = jnp.broadcast_to(py[:, None, :], (Bb, n_local, 4))
-        gids = jnp.broadcast_to(lids[None, :], (Bb, n_local))
+        vcoord = jnp.broadcast_to(coordb[None, :, :], (n_local, Bb, 4))
+        vnorm = jnp.broadcast_to(normalb[None, :, :], (n_local, Bb, 4))
+        vpx = jnp.broadcast_to(px[None, :, :], (n_local, Bb, 4))
+        vpy = jnp.broadcast_to(py[None, :, :], (n_local, Bb, 4))
+        gids = jnp.broadcast_to(lids[:, None], (n_local, Bb))
         tex, valid = _get_tex_local(
             local_scene, cams, gids, base, vcoord, vpx, vpy, vnorm,
             level, wsize, angle_threshold1,
         )
         tex = nccops.normalize_tex(tex)
-        lmember = memberb
-        lw = wfull
-        valid = valid & lmember
+        valid = valid & memberb.T          # [V, B]
+        lw = wfull.T                        # [V, B]
 
         # reference window via psum of the one-hot selection
-        # (tex is channel-leading [3, B, n_local, S])
-        is_ref = gids == refb[:, None]
+        is_ref = gids == refb[None, :]
         t0_part = jnp.sum(
-            jnp.where((is_ref & valid)[None, :, :, None], tex, 0.0), axis=2
-        )
-        ref_ok_part = jnp.sum((is_ref & valid).astype(jnp.float32), axis=1)
+            jnp.where((is_ref & valid)[None, :, None, :], tex, 0.0), axis=1
+        )  # [3, S, B]
+        ref_ok_part = jnp.sum((is_ref & valid).astype(jnp.float32), axis=0)
         t0 = lax.psum(t0_part, axis)
         ref_ok = lax.psum(ref_ok_part, axis) > 0.0
 
-        dots = jnp.einsum("cbvs,cbs->bv", tex, t0) / (3.0 * tex.shape[-1])
+        dots = jnp.einsum("cvsb,csb->vb", tex, t0) / (3.0 * tex.shape[-2])
         incc = nccops.robustincc(1.0 - dots)
         use = valid & ~is_ref
         num = lax.psum(
-            jnp.sum(jnp.where(use, incc * lw, 0.0), axis=1), axis
+            jnp.sum(jnp.where(use, incc * lw, 0.0), axis=0), axis
         )
-        den = lax.psum(jnp.sum(jnp.where(use, lw, 0.0), axis=1), axis)
+        den = lax.psum(jnp.sum(jnp.where(use, lw, 0.0), axis=0), axis)
         score = jnp.where(den > 0.0, num / jnp.where(den == 0, 1.0, den), 2.0)
         score = jnp.where(ref_ok, score, 2.0)
         return 1.0 - nccops.unrobustincc(score)
@@ -203,23 +202,22 @@ def _get_tex_local(
 ):
     """get_tex against a view-sharded plane block: geometry uses GLOBAL
     view ids (cameras replicated), sampling indexes LOCAL planes.
-    Returns channel-leading tex [3, ..., S]."""
+    Batch is (V, B); returns batch-minor tex [3, V, S, B], valid [V, B]."""
     from ..ops import sampling
 
-    geo_scene = local_scene  # lvl metadata is replicated
     tl, dx2, dy2, new_level, valid = nccops.window_geometry(
         _GlobalGeomScene(local_scene, cams), gids, coord, pxaxis, pyaxis,
         normal, level, wsize, angle_threshold1,
     )
     s = wsize * wsize
+    V, B = gids.shape
     xs = jnp.arange(wsize, dtype=jnp.float32)
-    lat_x = jnp.tile(xs, wsize)
-    lat_y = jnp.repeat(xs, wsize)
-    shape = tl.shape[:-1] + (s,)
-    gx = tl[..., 0, None] + dx2[..., 0, None] * lat_x + dy2[..., 0, None] * lat_y
-    gy = tl[..., 1, None] + dx2[..., 1, None] * lat_x + dy2[..., 1, None] * lat_y
-    lvl = jnp.broadcast_to(new_level[..., None], shape)
-    lidx = jnp.broadcast_to((gids - base)[..., None], shape)
+    lat_x = jnp.tile(xs, wsize)[None, :, None]
+    lat_y = jnp.repeat(xs, wsize)[None, :, None]
+    gx = tl[:, None, :, 0] + dx2[:, None, :, 0] * lat_x + dy2[:, None, :, 0] * lat_y
+    gy = tl[:, None, :, 1] + dx2[:, None, :, 1] * lat_x + dy2[:, None, :, 1] * lat_y
+    lvl = jnp.broadcast_to(new_level[:, None, :], (V, s, B))
+    lidx = jnp.broadcast_to((gids - base)[:, None, :], (V, s, B))
     tex = sampling.sample_color_ch(local_scene, lidx, gx, gy, lvl)
     return tex, valid
 

@@ -82,7 +82,7 @@ def test_cost_low_at_truth(scene_pts):
     tex, valid = ncc.texs_for_views(
         scene, views, coord, normal, LEVEL, WSIZE, ANGLE1
     )
-    ref_ok = np.asarray(valid[:, 0])
+    ref_ok = np.asarray(valid[0])  # valid is [T, B]
     assert ref_ok.sum() >= 8
     cost = np.asarray(ncc.incc_cost(tex, valid, 3))
     assert np.median(cost[ref_ok]) < 0.02
@@ -101,12 +101,12 @@ def test_invalid_ref_gives_two(scene_pts):
 
 def test_normalize_zero_mean_unit_rms():
     rng = np.random.RandomState(0)
-    # channel-leading layout [3, B, S]
-    tex = jnp.asarray(rng.uniform(0, 255, size=(3, 4, 49)), jnp.float32)
+    # channel-leading batch-minor layout [3, S, B]
+    tex = jnp.asarray(rng.uniform(0, 255, size=(3, 49, 4)), jnp.float32)
     out = ncc.normalize_tex(tex)
-    means = np.asarray(jnp.mean(out, axis=-1))
+    means = np.asarray(jnp.mean(out, axis=-2))
     np.testing.assert_allclose(means, 0.0, atol=1e-3)
-    rms = np.asarray(jnp.sqrt(jnp.sum(out * out, axis=(0, 2)) / (3 * 49)))
+    rms = np.asarray(jnp.sqrt(jnp.sum(out * out, axis=(0, 1)) / (3 * 49)))
     np.testing.assert_allclose(rms, 1.0, atol=1e-3)
     # self-dot of a normalized window is 1
     np.testing.assert_allclose(
