@@ -63,6 +63,8 @@ class MVSConfig:
     refine_init_angle_radius: float = 8.0    # in encoded (ascale) units
     refine_grad_steps: int = 0               # differentiable polish steps
     refine_grad_lr: float = 0.5
+    luma_refine: bool = False                # luminance-NCC inside refinement
+                                             # (1 fetch/sample fast path)
 
     # ---- propagation (reference propagate.cpp:24-25) ----
     max_num_of_propag: int = 2

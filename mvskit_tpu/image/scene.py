@@ -142,6 +142,13 @@ class Scene:
     lvl_offsets: jnp.ndarray
     lvl_widths: jnp.ndarray
     lvl_heights: jnp.ndarray
+    # packed RGB (r | g<<8 | b<<16) int32 per pixel — the NCC sampler's
+    # operand: one random fetch returns all 3 channels (pyramid levels
+    # are u8-quantized, so packing is lossless)
+    planes_packed: Optional[jnp.ndarray] = None
+    # packed 2x2 LUMA quad (y00|y10<<8|y01<<16|y11<<24) int32 per pixel:
+    # ONE fetch yields a full bilinear sample (luma-NCC fast mode)
+    planes_luma_quad: Optional[jnp.ndarray] = None
     # optional [n, n] bool covisibility (vis.dat); None = all pairs
     covis: Optional[jnp.ndarray] = None
     # static:
@@ -158,6 +165,8 @@ class Scene:
             self.lvl_offsets,
             self.lvl_widths,
             self.lvl_heights,
+            self.planes_packed,
+            self.planes_luma_quad,
             self.covis,
         )
         aux = (self.widths, self.heights, self.offsets, self.max_level)
@@ -265,9 +274,35 @@ def scene_from_arrays(
 
     if cams is None:
         cams = make_camera_set(projections)
+    packed = (
+        planes[..., 0].astype(np.int32)
+        | (planes[..., 1].astype(np.int32) << 8)
+        | (planes[..., 2].astype(np.int32) << 16)
+    )
+    # luma quad: per pixel, the 2x2 bilinear support's luminances packed
+    # into one int32 (per level; x+1/y+1 clamped at level edges)
+    luma = np.clip(np.round(
+        0.299 * planes[..., 0] + 0.587 * planes[..., 1]
+        + 0.114 * planes[..., 2]
+    ), 0, 255).astype(np.int32)
+    lq = np.zeros_like(luma)
+    for l in range(max_level):
+        o, wl, hl = offsets[l], ws[l], hs[l]
+        lv = luma[..., o : o + wl * hl].reshape(n, n_illums, hl, wl)
+        xp = np.minimum(np.arange(wl) + 1, wl - 1)
+        yp = np.minimum(np.arange(hl) + 1, hl - 1)
+        q = (
+            lv
+            | (lv[..., :, xp] << 8)
+            | (lv[..., yp, :] << 16)
+            | (lv[..., yp, :][..., :, xp] << 24)
+        )
+        lq[..., o : o + wl * hl] = q.reshape(n, n_illums, -1)
     return Scene(
         planes=jnp.asarray(planes),
         masks=None if mask_arr is None else jnp.asarray(mask_arr),
+        planes_packed=jnp.asarray(packed),
+        planes_luma_quad=jnp.asarray(lq),
         cams=cams,
         lvl_offsets=jnp.asarray(offsets, dtype=jnp.int32),
         lvl_widths=jnp.asarray(ws, dtype=jnp.int32),

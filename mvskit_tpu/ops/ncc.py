@@ -146,10 +146,11 @@ def normalize_tex(tex):
 
     tex: [3, ..., S, B] (sample axis second-minor) -> same shape."""
     s = tex.shape[-2]
+    c = tex.shape[0]
     ave = jnp.mean(tex, axis=-2, keepdims=True)
     diff = tex - ave
     ssd = jnp.sum(diff * diff, axis=(0, -2), keepdims=True)
-    msd = jnp.sqrt(ssd / (3.0 * s))
+    msd = jnp.sqrt(ssd / (c * s))
     msd = jnp.where(msd == 0.0, 1.0, msd)
     return diff / msd
 
@@ -158,7 +159,8 @@ def tex_dot(tex0, tex1):
     """Mean elementwise product (reference optim.cpp:601-609):
     sum over channels and samples / (3 * S). Inputs [3, ..., S, B]."""
     s = tex0.shape[-2]
-    return jnp.sum(tex0 * tex1, axis=(0, -2)) / (3.0 * s)
+    c = tex0.shape[0]
+    return jnp.sum(tex0 * tex1, axis=(0, -2)) / (c * s)
 
 
 def texs_for_views(
@@ -170,6 +172,7 @@ def texs_for_views(
     wsize: int,
     angle_threshold1: float,
     illum=0,
+    luma: bool = False,
 ):
     """Windows for a [B, T] view list sharing per-patch plane axes.
 
@@ -200,7 +203,12 @@ def texs_for_views(
     gy = tl[:, None, :, 1] + dx2[:, None, :, 1] * lat_x + dy2[:, None, :, 1] * lat_y
     lvl = jnp.broadcast_to(new_level[:, None, :], (T, s, B))
     iidx = jnp.broadcast_to(idx[:, None, :], (T, s, B))
-    tex = sampling.sample_color_ch(scene, iidx, gx, gy, lvl, illum)
+    if luma and scene.planes_luma_quad is not None:
+        tex = sampling.sample_luma_quad(scene, iidx, gx, gy, lvl, illum)
+    elif scene.planes_packed is not None:
+        tex = sampling.sample_color_ch_packed(scene, iidx, gx, gy, lvl, illum)
+    else:
+        tex = sampling.sample_color_ch(scene, iidx, gx, gy, lvl, illum)
 
     valid = valid & (views_t >= 0)
     tex = normalize_tex(tex)
@@ -261,7 +269,8 @@ def incc_pairwise(tex, valid, robust: bool):
     diagonal 0, invalid pairs 2. tex [3, T, S, B], valid [T, B]."""
     T, B = valid.shape
     s = tex.shape[-2]
-    dots = jnp.einsum("ctsb,cusb->btu", tex, tex) / (3.0 * s)
+    c = tex.shape[0]
+    dots = jnp.einsum("ctsb,cusb->btu", tex, tex) / (c * s)
     incc = 1.0 - dots
     if robust:
         incc = robustincc(incc)

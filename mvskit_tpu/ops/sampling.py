@@ -67,6 +67,87 @@ def sample_color_ch(scene: Scene, image_idx, x, y, level, illum=0):
     return jnp.stack(chans, axis=0)
 
 
+def sample_color_ch_packed(scene: Scene, image_idx, x, y, level, illum=0):
+    """Bilinear fetch from the PACKED int32 planes, channel-leading
+    [3, ...] output.
+
+    Random gathers on TPU run at a fixed per-index rate (~100-130 M
+    fetches/s measured on v5e regardless of index shape), so sampling
+    cost is set by the NUMBER of fetches: packing RGB u8 into one int32
+    turns 12 fetches per bilinear sample into 4 — pyramid levels are
+    u8-quantized, so the packing is lossless."""
+    flat = scene.planes_packed.reshape(-1)
+    ni = scene.planes_packed.shape[1]
+    t = scene.planes_packed.shape[2]
+    level = jnp.asarray(level, dtype=jnp.int32)
+    off = scene.lvl_offsets[level]
+    w = scene.lvl_widths[level]
+    h = scene.lvl_heights[level]
+
+    lx = jnp.clip(x.astype(jnp.int32), 0, w - 2)
+    ly = jnp.clip(y.astype(jnp.int32), 0, h - 2)
+    dx1 = jnp.clip(x - lx.astype(x.dtype), 0.0, 1.0)
+    dy1 = jnp.clip(y - ly.astype(y.dtype), 0.0, 1.0)
+    dx0 = 1.0 - dx1
+    dy0 = 1.0 - dy1
+    f00 = dx0 * dy0
+    f10 = dx1 * dy0
+    f01 = dx0 * dy1
+    f11 = dx1 * dy1
+
+    base = (
+        (jnp.asarray(image_idx, jnp.int32) * ni + illum) * t
+        + off + ly * w + lx
+    )
+
+    r = g = b = 0.0
+    for doff, wgt in ((0, f00), (1, f10), (w, f01), (w + 1, f11)):
+        v = jnp.take(flat, base + doff)
+        r = r + (v & 0xFF).astype(jnp.float32) * wgt
+        g = g + ((v >> 8) & 0xFF).astype(jnp.float32) * wgt
+        b = b + ((v >> 16) & 0xFF).astype(jnp.float32) * wgt
+    return jnp.stack([r, g, b], axis=0)
+
+
+def sample_luma_quad(scene: Scene, image_idx, x, y, level, illum=0):
+    """Bilinear LUMA fetch from the quad-packed planes: each int32
+    holds the four u8 luminances of a pixel's 2x2 bilinear support, so
+    one random fetch yields a complete bilinear sample — 12x fewer
+    fetches than per-channel RGB. Returns [1, ...] (channel-leading,
+    luma-only; the NCC math is channel-count agnostic).
+
+    This powers the opt-in luma_mode fast path (DIVERGENCES.md): NCC on
+    luminance instead of RGB, the common choice in GPU MVS pipelines."""
+    flat = scene.planes_luma_quad.reshape(-1)
+    ni = scene.planes_luma_quad.shape[1]
+    t = scene.planes_luma_quad.shape[2]
+    level = jnp.asarray(level, dtype=jnp.int32)
+    off = scene.lvl_offsets[level]
+    w = scene.lvl_widths[level]
+    h = scene.lvl_heights[level]
+
+    lx = jnp.clip(x.astype(jnp.int32), 0, w - 2)
+    ly = jnp.clip(y.astype(jnp.int32), 0, h - 2)
+    dx1 = jnp.clip(x - lx.astype(x.dtype), 0.0, 1.0)
+    dy1 = jnp.clip(y - ly.astype(y.dtype), 0.0, 1.0)
+    dx0 = 1.0 - dx1
+    dy0 = 1.0 - dy1
+
+    idx = (
+        (jnp.asarray(image_idx, jnp.int32) * ni + illum) * t
+        + off + ly * w + lx
+    )
+    v = jnp.take(flat, idx)
+    y00 = (v & 0xFF).astype(jnp.float32)
+    y10 = ((v >> 8) & 0xFF).astype(jnp.float32)
+    y01 = ((v >> 16) & 0xFF).astype(jnp.float32)
+    y11 = ((v >> 24) & 0xFF).astype(jnp.float32)
+    out = (
+        y00 * dx0 * dy0 + y10 * dx1 * dy0 + y01 * dx0 * dy1 + y11 * dx1 * dy1
+    )
+    return out[None]
+
+
 def sample_color(scene: Scene, image_idx, x, y, level, illum=0):
     """Bilinear color fetch at float pixel coords (x, y) of `level`.
 

@@ -98,6 +98,7 @@ class PMMVS:
             depth2_check=self.depth >= 2,
             grad_steps=cfg.refine_grad_steps,
             grad_lr=cfg.refine_grad_lr,
+            luma_refine=cfg.luma_refine,
         )
 
     def _next_key(self):

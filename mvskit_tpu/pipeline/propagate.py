@@ -59,6 +59,7 @@ class PropagateParams(NamedTuple):
     depth2_check: bool = False
     grad_steps: int = 0
     grad_lr: float = 0.5
+    luma_refine: bool = False
 
 
 class RoundStats(NamedTuple):
@@ -205,6 +206,7 @@ def run_gauntlet(
         init_depth_radius=p.refine_depth_radius,
         init_angle_radius=p.refine_angle_radius,
         grad_steps=p.grad_steps, grad_lr=p.grad_lr,
+        luma=p.luma_refine,
     )
 
     post_images, post_ok, _ = vw.post_process_core(

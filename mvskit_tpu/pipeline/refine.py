@@ -74,10 +74,12 @@ class RefineResult(NamedTuple):
 
 
 def _eval_cost(
-    scene, views, coord, normal, minimum, level, wsize, angle_threshold1
+    scene, views, coord, normal, minimum, level, wsize, angle_threshold1,
+    luma=False,
 ):
     tex, valid = nccops.texs_for_views(
-        scene, views, coord, normal, level, wsize, angle_threshold1
+        scene, views, coord, normal, level, wsize, angle_threshold1,
+        luma=luma,
     )
     return nccops.incc_cost(tex, valid, minimum)
 
@@ -103,6 +105,7 @@ def refine_batch(
     init_angle_radius: float,
     grad_steps: int = 0,
     grad_lr: float = 0.5,
+    luma: bool = False,
 ) -> RefineResult:
     """Refine a batch of patches (reference Optim::refinePatch,
     optim.cpp:470-547). `images` is the fixed view list for the whole
@@ -135,7 +138,8 @@ def refine_batch(
         c = decode_coord(center, ray, safe_dscale, p[:, 0])
         n = decode_normal(scene, ref, p[:, 1] * ascale, p[:, 2] * ascale)
         return _eval_cost(
-            scene, views, c, n, minimum, level, wsize, angle_threshold1
+            scene, views, c, n, minimum, level, wsize, angle_threshold1,
+            luma=luma,
         )
 
     best_p = p0
@@ -181,6 +185,7 @@ def refine_batch(
             level,
             wsize,
             angle_threshold1,
+            luma=luma,
         ).reshape(B, n_cands)
         kbest = jnp.argmin(costs, axis=1)
         cbest = jnp.take_along_axis(costs, kbest[:, None], axis=1)[:, 0]

@@ -179,3 +179,49 @@ def test_visdata_restricts_add_images(tmp_path):
     assert (out_all >= 0).sum() > (out_vis >= 0).sum()
     for row in out_vis:
         assert set(row[row >= 0]) <= {0, 1}
+
+
+def test_luma_mode_scores_surface():
+    """The luma fast path discriminates the surface like RGB NCC."""
+    import jax
+
+    from mvskit_tpu.pipeline import refine as rf
+    from mvskit_tpu.pipeline import views as vw
+
+    Ps, imgs, scene = synthetic.plane_scene(n_views=6, width=160, height=120)
+    coord, normal = synthetic.plane_points(Ps, 16, extent=0.6)
+    coord = jnp.asarray(coord, jnp.float32)
+    normal = jnp.asarray(normal, jnp.float32)
+    views = jnp.asarray(np.tile(np.arange(6, dtype=np.int32), (16, 1)))
+
+    tex, valid = ncc.texs_for_views(
+        scene, views, coord, normal, LEVEL, WSIZE, A1, luma=True
+    )
+    assert tex.shape[0] == 1  # luma-only channel axis
+    cost_true = np.asarray(ncc.incc_cost(tex, valid, 3))
+    off = coord + jnp.asarray([0.0, 0.0, 0.15, 0.0])
+    tex2, valid2 = ncc.texs_for_views(
+        scene, views, off, normal, LEVEL, WSIZE, A1, luma=True
+    )
+    cost_off = np.asarray(ncc.incc_cost(tex2, valid2, 3))
+    ok = (cost_true < 2.0) & (cost_off < 2.0)
+    assert ok.sum() >= 8
+    assert np.median(cost_true[ok]) < np.median(cost_off[ok])
+
+    # refinement with luma mode recovers depth
+    images = vw.sort_images(scene, coord, normal, views, LEVEL, is_fixed=False)
+    dscale, _ = vw.set_scales(scene, coord, images, LEVEL, 6, WSIZE)
+    ref = jnp.maximum(images[:, 0], 0)
+    ray = coord - scene.cams.center[ref]
+    ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    start = coord + (3.0 * dscale)[:, None] * ray
+    res = rf.refine_batch(
+        scene, start, normal, images, dscale, jax.random.PRNGKey(0),
+        level=LEVEL, wsize=WSIZE, tau=6, min_image_num=3,
+        angle_threshold1=A1, ascale=np.pi / 48,
+        rounds=16, n_cands=8, shrink=0.85,
+        init_depth_radius=4.0, init_angle_radius=8.0, luma=True,
+    )
+    okm = np.asarray(images[:, 0]) >= 0
+    z = np.abs(np.asarray(res.coord)[okm, 2])
+    assert np.median(z) < 0.05
