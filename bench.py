@@ -68,8 +68,8 @@ def main() -> None:
     # dinoSparseRing-scale scene (16 views, 640x480, level 1)
     n_views, w, h = 16, 640, 480
     level, wsize, tau = 1, 7, 6
-    rounds_lo = int(os.environ.get("BENCH_ROUNDS_LO", 24))
-    rounds_hi = int(os.environ.get("BENCH_ROUNDS_HI", 120))
+    rounds_lo = int(os.environ.get("BENCH_ROUNDS_LO", 12))
+    rounds_hi = int(os.environ.get("BENCH_ROUNDS_HI", 24))
     cands = 8
     B = int(os.environ.get("BENCH_BATCH", 8192))
     a1 = math.radians(60.0)
