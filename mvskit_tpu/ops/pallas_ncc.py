@@ -32,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 # are <= sqrt(2) px after level normalization (|span| <= 2*3*2.83+2 ~ 19)
 TILE_H = 24
 TILE_W = 32
-SPAD = 64  # wsize^2 = 49 padded to a sublane multiple
+SPAD = 64    # wsize^2 = 49 padded to a sublane multiple
+W_BLK = 128  # windows per program (output lane dimension)
 
 
 def luma_levels_from_scene(scene) -> Tuple[jnp.ndarray, ...]:
@@ -73,78 +74,82 @@ def _kernel(
     out_ref = rest[n_levels]
     tile = rest[n_levels + 1]
     sem = rest[n_levels + 2]
-    i = pl.program_id(0)
+    blk = pl.program_id(0)
 
-    img = img_ref[i]
-    lvl = lvl_ref[i]
-    y0 = y0_ref[i]
-    x0 = x0_ref[i]
+    def one_window(j, _):
+        i = blk * W_BLK + j
+        img = img_ref[i]
+        lvl = lvl_ref[i]
+        y0 = y0_ref[i]
+        x0 = x0_ref[i]
 
-    # DMA the bounding tile of this window's level plane into VMEM
-    def make_copy(l):
-        def do():
-            cp = pltpu.make_async_copy(
-                level_refs[l].at[img, pl.ds(y0, TILE_H), pl.ds(x0, TILE_W)],
-                tile,
-                sem,
-            )
-            cp.start()
-            cp.wait()
-        return do
+        # DMA the bounding tile of this window's level plane into VMEM
+        for l in range(n_levels):
+            @pl.when(lvl == l)
+            def _(l=l):
+                cp = pltpu.make_async_copy(
+                    level_refs[l].at[
+                        img, pl.ds(y0, TILE_H), pl.ds(x0, TILE_W)
+                    ],
+                    tile,
+                    sem,
+                )
+                cp.start()
+                cp.wait()
 
-    for l in range(n_levels):
-        @pl.when(lvl == l)
-        def _(l=l):
-            make_copy(l)()
+        tlx = geom_ref[0, i] - x0.astype(jnp.float32)
+        tly = geom_ref[1, i] - y0.astype(jnp.float32)
+        dxx = geom_ref[2, i]
+        dxy = geom_ref[3, i]
+        dyx = geom_ref[4, i]
+        dyy = geom_ref[5, i]
 
-    tlx = geom_ref[0, i] - x0.astype(jnp.float32)
-    tly = geom_ref[1, i] - y0.astype(jnp.float32)
-    dxx = geom_ref[2, i]
-    dxy = geom_ref[3, i]
-    dyx = geom_ref[4, i]
-    dyy = geom_ref[5, i]
+        # lattice sample coordinates inside the tile, [SPAD, 1]
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (SPAD, 1), 0)
+        wsize = 7
+        li = (sidx % wsize).astype(jnp.float32)   # x lattice count
+        lj = (sidx // wsize).astype(jnp.float32)  # y lattice count
+        valid_s = sidx < wsize * wsize
+        sx = tlx + li * dxx + lj * dyx
+        sy = tly + li * dxy + lj * dyy
 
-    # lattice sample coordinates inside the tile, [SPAD, 1]
-    sidx = jax.lax.broadcasted_iota(jnp.int32, (SPAD, 1), 0)
-    wsize = 7
-    li = (sidx % wsize).astype(jnp.float32)   # x lattice count
-    lj = (sidx // wsize).astype(jnp.float32)  # y lattice count
-    valid_s = sidx < wsize * wsize
-    sx = tlx + li * dxx + lj * dyx
-    sy = tly + li * dxy + lj * dyy
+        ix = jnp.clip(sx.astype(jnp.int32), 0, TILE_W - 2)
+        iy = jnp.clip(sy.astype(jnp.int32), 0, TILE_H - 2)
+        fx = jnp.clip(sx - ix.astype(jnp.float32), 0.0, 1.0)
+        fy = jnp.clip(sy - iy.astype(jnp.float32), 0.0, 1.0)
+        f00 = (1.0 - fx) * (1.0 - fy)
+        f10 = fx * (1.0 - fy)
+        f01 = (1.0 - fx) * fy
+        f11 = fx * fy
 
-    ix = jnp.clip(sx.astype(jnp.int32), 0, TILE_W - 2)
-    iy = jnp.clip(sy.astype(jnp.int32), 0, TILE_H - 2)
-    fx = jnp.clip(sx - ix.astype(jnp.float32), 0.0, 1.0)
-    fy = jnp.clip(sy - iy.astype(jnp.float32), 0.0, 1.0)
-    f00 = (1.0 - fx) * (1.0 - fy)
-    f10 = fx * (1.0 - fy)
-    f01 = (1.0 - fx) * fy
-    f11 = fx * fy
+        base = iy * TILE_W + ix  # [SPAD, 1]
+        pidx = jax.lax.broadcasted_iota(
+            jnp.int32, (SPAD, TILE_H * TILE_W), 1
+        )
+        w = (
+            f00 * (pidx == base)
+            + f10 * (pidx == base + 1)
+            + f01 * (pidx == base + TILE_W)
+            + f11 * (pidx == base + TILE_W + 1)
+        )
+        tex = jax.lax.dot_general(
+            w,
+            tile[:].reshape(TILE_H * TILE_W, 1),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [SPAD, 1]
+        tex = jnp.where(valid_s, tex, 0.0)
 
-    base = iy * TILE_W + ix  # [SPAD, 1]
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (SPAD, TILE_H * TILE_W), 1)
-    w = (
-        f00 * (pidx == base)
-        + f10 * (pidx == base + 1)
-        + f01 * (pidx == base + TILE_W)
-        + f11 * (pidx == base + TILE_W + 1)
-    )
-    tex = jax.lax.dot_general(
-        w,
-        tile[:].reshape(TILE_H * TILE_W, 1),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [SPAD, 1]
-    tex = jnp.where(valid_s, tex, 0.0)
+        # zero-mean, unit-RMS over the 49 valid samples
+        sden = float(wsize * wsize)
+        ave = jnp.sum(tex) / sden
+        diff = jnp.where(valid_s, tex - ave, 0.0)
+        msd = jnp.sqrt(jnp.sum(diff * diff) / sden)
+        msd = jnp.where(msd == 0.0, 1.0, msd)
+        out_ref[:, pl.ds(j, 1)] = diff / msd
+        return 0
 
-    # zero-mean, unit-RMS over the 49 valid samples
-    s = float(wsize * wsize)
-    ave = jnp.sum(tex) / s
-    diff = jnp.where(valid_s, tex - ave, 0.0)
-    msd = jnp.sqrt(jnp.sum(diff * diff) / s)
-    msd = jnp.where(msd == 0.0, 1.0, msd)
-    out_ref[:, :] = diff / msd
+    lax.fori_loop(0, W_BLK, one_window, 0)
 
 
 def sample_windows(
@@ -211,29 +216,44 @@ def sample_windows(
         axis=0,
     ).astype(jnp.float32)
 
+    # pad the window batch to a multiple of the per-program block
+    Bp = ((B + W_BLK - 1) // W_BLK) * W_BLK
+    if Bp != B:
+        padn = Bp - B
+        img = jnp.concatenate([img, jnp.zeros((padn,), img.dtype)])
+        lvl_p = jnp.concatenate([lvl, jnp.zeros((padn,), jnp.int32)])
+        x0 = jnp.concatenate([x0, jnp.zeros((padn,), x0.dtype)])
+        y0 = jnp.concatenate([y0, jnp.zeros((padn,), y0.dtype)])
+        geom = jnp.concatenate(
+            [geom, jnp.zeros((8, padn), geom.dtype)], axis=1
+        )
+    else:
+        lvl_p = lvl
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(B,),
+        grid=(Bp // W_BLK,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_levels,
         out_specs=pl.BlockSpec(
-            (SPAD, 1), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+            (SPAD, W_BLK), lambda i, *_: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((SPAD, B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((SPAD, Bp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
         img.astype(jnp.int32),
-        lvl.astype(jnp.int32),
+        lvl_p.astype(jnp.int32),
         y0,
         x0,
         geom,
         *levels,
     )
+    return out[:, :B]
