@@ -63,10 +63,9 @@ def luma_levels_from_scene(scene) -> Tuple[jnp.ndarray, ...]:
 
 
 def _kernel(
-    # scalar prefetch
+    # scalar prefetch (SMEM): ids + per-window float geometry
     img_ref, lvl_ref, y0_ref, x0_ref,
-    # vmem inputs
-    geom_ref,            # [8, B_blk] tlx, tly, dxx, dxy, dyx, dyy, valid, _
+    tlx_ref, tly_ref, dxx_ref, dxy_ref, dyx_ref, dyy_ref,
     *rest,
 ):
     n_levels = len(rest) - 3  # rest = levels + out_ref + 2 scratch
@@ -97,12 +96,12 @@ def _kernel(
                 cp.start()
                 cp.wait()
 
-        tlx = geom_ref[0, i] - x0.astype(jnp.float32)
-        tly = geom_ref[1, i] - y0.astype(jnp.float32)
-        dxx = geom_ref[2, i]
-        dxy = geom_ref[3, i]
-        dyx = geom_ref[4, i]
-        dyy = geom_ref[5, i]
+        tlx = tlx_ref[i] - x0.astype(jnp.float32)
+        tly = tly_ref[i] - y0.astype(jnp.float32)
+        dxx = dxx_ref[i]
+        dxy = dxy_ref[i]
+        dyx = dyx_ref[i]
+        dyy = dyy_ref[i]
 
         # lattice sample coordinates inside the tile, [SPAD, 1]
         sidx = jax.lax.broadcasted_iota(jnp.int32, (SPAD, 1), 0)
@@ -208,33 +207,30 @@ def sample_windows(
         0,
         jnp.maximum(hs - TILE_H, 0),
     )
-    geom = jnp.stack(
-        [
-            tl[:, 0], tl[:, 1], dx[:, 0], dx[:, 1], dy[:, 0], dy[:, 1],
-            jnp.ones((B,)), jnp.zeros((B,)),
-        ],
-        axis=0,
-    ).astype(jnp.float32)
 
     # pad the window batch to a multiple of the per-program block
     Bp = ((B + W_BLK - 1) // W_BLK) * W_BLK
+    geos = [
+        tl[:, 0], tl[:, 1], dx[:, 0], dx[:, 1], dy[:, 0], dy[:, 1]
+    ]
     if Bp != B:
         padn = Bp - B
         img = jnp.concatenate([img, jnp.zeros((padn,), img.dtype)])
         lvl_p = jnp.concatenate([lvl, jnp.zeros((padn,), jnp.int32)])
         x0 = jnp.concatenate([x0, jnp.zeros((padn,), x0.dtype)])
         y0 = jnp.concatenate([y0, jnp.zeros((padn,), y0.dtype)])
-        geom = jnp.concatenate(
-            [geom, jnp.zeros((8, padn), geom.dtype)], axis=1
-        )
+        geos = [
+            jnp.concatenate([g, jnp.zeros((padn,), jnp.float32)])
+            for g in geos
+        ]
     else:
         lvl_p = lvl
+    geos = [g.astype(jnp.float32) for g in geos]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=10,
         grid=(Bp // W_BLK,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_levels,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_levels,
         out_specs=pl.BlockSpec(
             (SPAD, W_BLK), lambda i, *_: (0, i), memory_space=pltpu.VMEM
         ),
@@ -253,7 +249,7 @@ def sample_windows(
         lvl_p.astype(jnp.int32),
         y0,
         x0,
-        geom,
+        *geos,
         *levels,
     )
     return out[:, :B]
