@@ -149,6 +149,10 @@ class Scene:
     # packed 2x2 LUMA quad (y00|y10<<8|y01<<16|y11<<24) int32 per pixel:
     # ONE fetch yields a full bilinear sample (luma-NCC fast mode)
     planes_luma_quad: Optional[jnp.ndarray] = None
+    # per-level [n*illums, h_l, w_l] f32 luminance planes — the operand
+    # layout of the Pallas tile-DMA sampling kernel (ops/pallas_ncc);
+    # populated by ops.pallas_ncc.enable_pallas_luma
+    planes_luma_levels: Optional[Tuple[jnp.ndarray, ...]] = None
     # optional [n, n] bool covisibility (vis.dat); None = all pairs
     covis: Optional[jnp.ndarray] = None
     # static:
@@ -167,6 +171,7 @@ class Scene:
             self.lvl_heights,
             self.planes_packed,
             self.planes_luma_quad,
+            self.planes_luma_levels,
             self.covis,
         )
         aux = (self.widths, self.heights, self.offsets, self.max_level)

@@ -196,6 +196,26 @@ def texs_for_views(
         angle_threshold1,
     )
     s = wsize * wsize
+    if luma and scene.planes_luma_levels is not None:
+        # Pallas tile-DMA sampling path: per-window bounding-tile DMA +
+        # factorized one-hot MXU matmuls replace the per-index gathers
+        # (ops/pallas_ncc.py). Output arrives normalized.
+        from . import pallas_ncc as pk
+
+        ni = scene.n_illums
+        imgs = (idx * ni + illum).reshape(-1)
+        out, fit = pk.sample_windows(
+            scene.planes_luma_levels,
+            imgs,
+            new_level.reshape(-1),
+            tl.reshape(-1, 2),
+            dx2.reshape(-1, 2),
+            dy2.reshape(-1, 2),
+            wsize=wsize,
+        )  # [SPAD, T*B], [T*B]
+        tex = jnp.moveaxis(out[:s].reshape(s, T, B), 0, 1)[None]
+        valid = valid & (views_t >= 0) & fit.reshape(T, B)
+        return tex, valid
     xs = jnp.arange(wsize, dtype=jnp.float32)
     lat_x = jnp.tile(xs, wsize)[None, :, None]      # [1, S, 1]
     lat_y = jnp.repeat(xs, wsize)[None, :, None]

@@ -4,16 +4,19 @@ The XLA path samples NCC windows with random gathers, whose throughput
 on TPU is bound by a fixed per-index rate (~100-130M fetches/s measured
 on v5e) — not by HBM bandwidth. This kernel takes the tile-DMA route
 instead (the plan of SURVEY.md §7.3): per window it DMAs the bounding
-tile of the projected lattice from the pyramid level into VMEM, then
-evaluates all wsize^2 bilinear samples at once as a weighted one-hot
-matmul on the MXU (gathers inside VMEM re-expressed as dot products),
-and applies the zero-mean/unit-RMS normalization of reference
-optim.cpp:917-940 in-register. DMA issue rate replaces gather rate as
-the limiting resource.
+tile of the projected lattice from the pyramid level into VMEM through
+an NBUF-deep pipeline, then evaluates all wsize^2 bilinear samples at
+once as a pair of factorized one-hot matmuls on the MXU (the bilinear
+weight of tile pixel (r, c) for sample s factorizes as
+wy[r, s] * wx[c, s], so column gathering is one
+[TILE_H, TILE_W] x [TILE_W, S] matmul and row gathering a weighted
+sublane reduction), and applies the zero-mean/unit-RMS normalization of
+reference optim.cpp:917-940 in-register. DMA issue rate replaces gather
+rate as the limiting resource.
 
 v1 operates on luminance pyramids (the luma fast path; the RGB variant
 triples the tile planes). Numerics are validated against the jnp
-sampler in interpret mode; on-chip tuning is tracked for round 2.
+sampler in interpret mode (tests/test_pallas_ncc.py).
 """
 
 from __future__ import annotations
@@ -28,12 +31,32 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# tile pulled from HBM per window; covers a wsize<=7 lattice whose steps
-# are <= sqrt(2) px after level normalization (|span| <= 2*3*2.83+2 ~ 19)
-TILE_H = 24
-TILE_W = 32
-SPAD = 64    # wsize^2 = 49 padded to a sublane multiple
-W_BLK = 128  # windows per program (output lane dimension)
+W_BLK = 128  # windows per program
+NBUF = 8     # DMA pipeline depth (tiles in flight)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _tile_dims(wsize: int) -> Tuple[int, int, int]:
+    """(TILE_H, TILE_W, SPAD) for a given window size.
+
+    The projected lattice after window_geometry's level shift has steps
+    of ~<= 2*sqrt(2) px, so the bounding tile needs
+    (wsize-1)*2.83 + interp/guard margins, plus 7 rows of slack for the
+    8-row DMA alignment of y0 (HBM memrefs are (8,128)-tiled; row
+    offsets must be provably divisible by 8). Windows that still
+    overflow (level_diff clipped at +-2 with extreme footprints) are
+    masked out by sample_windows' fit mask.
+    """
+    span = int(np.ceil((wsize - 1) * 2 * 1.42)) + 6
+    tile_h = _round_up(max(span + 7, 32), 8)
+    # slice widths AND lane offsets must be 128-aligned: x0 floors to a
+    # multiple of 128, so the tile needs 127 lanes of slack
+    tile_w = _round_up(span + 127, 128)
+    spad = _round_up(wsize * wsize, 8)
+    return tile_h, tile_w, spad
 
 
 def luma_levels_from_scene(scene) -> Tuple[jnp.ndarray, ...]:
@@ -46,109 +69,141 @@ def luma_levels_from_scene(scene) -> Tuple[jnp.ndarray, ...]:
         + 0.587 * scene.planes[..., 1]
         + 0.114 * scene.planes[..., 2]
     ), 0, 255).reshape(n * ni, total)
+    tile_h, tile_w, _ = _tile_dims(7)
     out = []
     for l in range(scene.max_level):
         o, wl, hl = scene.offsets[l], scene.widths[l], scene.heights[l]
         plane = luma[:, o : o + wl * hl].reshape(n * ni, hl, wl)
-        # coarse levels smaller than the DMA tile are zero-padded; the
-        # border-safety margins of window_geometry keep real samples
-        # inside the true extent
-        if hl < TILE_H or wl < TILE_W:
-            plane = jnp.pad(
-                plane,
-                ((0, 0), (0, max(0, TILE_H - hl)), (0, max(0, TILE_W - wl))),
-            )
+        # pad every plane so aligned DMA slices stay in bounds: height
+        # to >= tile_h (8-multiple), width to >= tile_w (128-multiple).
+        # The border-safety margins of window_geometry keep real
+        # samples inside the true extent; padding is never sampled.
+        hp = _round_up(max(hl, tile_h), 8)
+        wp = _round_up(max(wl, tile_w), 128)
+        if hp != hl or wp != wl:
+            plane = jnp.pad(plane, ((0, 0), (0, hp - hl), (0, wp - wl)))
         out.append(plane)
     return tuple(out)
 
 
-def _kernel(
-    # scalar prefetch (SMEM): ids + per-window float geometry
-    img_ref, lvl_ref, y0_ref, x0_ref,
-    tlx_ref, tly_ref, dxx_ref, dxy_ref, dyx_ref, dyy_ref,
-    *rest,
-):
-    n_levels = len(rest) - 3  # rest = levels + out_ref + 2 scratch
-    level_refs = rest[:n_levels]
-    out_ref = rest[n_levels]
-    tile = rest[n_levels + 1]
-    sem = rest[n_levels + 2]
-    blk = pl.program_id(0)
+def enable_pallas_luma(scene):
+    """Return a Scene carrying the kernel's per-level luma planes (turns
+    on the Pallas path of ncc.texs_for_views for luma scoring)."""
+    import dataclasses
 
-    def one_window(j, _):
-        i = blk * W_BLK + j
-        img = img_ref[i]
-        lvl = lvl_ref[i]
-        y0 = y0_ref[i]
-        x0 = x0_ref[i]
+    return dataclasses.replace(
+        scene, planes_luma_levels=luma_levels_from_scene(scene)
+    )
 
-        # DMA the bounding tile of this window's level plane into VMEM
-        for l in range(n_levels):
-            @pl.when(lvl == l)
-            def _(l=l):
-                cp = pltpu.make_async_copy(
-                    level_refs[l].at[
-                        img, pl.ds(y0, TILE_H), pl.ds(x0, TILE_W)
-                    ],
-                    tile,
-                    sem,
-                )
-                cp.start()
-                cp.wait()
 
-        tlx = tlx_ref[i] - x0.astype(jnp.float32)
-        tly = tly_ref[i] - y0.astype(jnp.float32)
-        dxx = dxx_ref[i]
-        dxy = dxy_ref[i]
-        dyx = dyx_ref[i]
-        dyy = dyy_ref[i]
+def _make_kernel(n_levels: int, wsize: int):
+    tile_h, tile_w, spad = _tile_dims(wsize)
 
-        # lattice sample coordinates inside the tile, [SPAD, 1]
-        sidx = jax.lax.broadcasted_iota(jnp.int32, (SPAD, 1), 0)
-        wsize = 7
-        li = (sidx % wsize).astype(jnp.float32)   # x lattice count
-        lj = (sidx // wsize).astype(jnp.float32)  # y lattice count
+    def kernel(
+        # scalar prefetch (SMEM): packed ids img*L+lvl, y0<<16|x0
+        il_ref, yx_ref,
+        # VMEM-blocked per-window sample coords (relative to the tile
+        # origin, precomputed in XLA), then HBM level planes
+        *rest,
+    ):
+        sx_ref = rest[0]             # [W_BLK, spad]
+        sy_ref = rest[1]
+        level_refs = rest[2 : 2 + n_levels]
+        out_ref = rest[2 + n_levels]
+        tiles = rest[2 + n_levels + 1]   # [NBUF, tile_h, tile_w]
+        sems = rest[2 + n_levels + 2]    # DMA sems [NBUF]
+        blk = pl.program_id(0)
+
+        def start_dma(j, slot):
+            """Issue the HBM->VMEM tile fetch for window j into slot."""
+            i = blk * W_BLK + j
+            il = il_ref[i]
+            img = il // n_levels
+            lvl = il - img * n_levels
+            yx = yx_ref[i]
+            y0 = pl.multiple_of(yx >> 16, 8)      # host floors to 8
+            x0 = pl.multiple_of(yx & 0xFFFF, 128)  # host floors to 128
+            for l in range(n_levels):
+                @pl.when(lvl == l)
+                def _(l=l):
+                    pltpu.make_async_copy(
+                        level_refs[l].at[
+                            img, pl.ds(y0, tile_h), pl.ds(x0, tile_w)
+                        ],
+                        tiles.at[slot],
+                        sems.at[slot],
+                    ).start()
+
+        def wait_dma(slot):
+            # equal-sized descriptor purely to wait on the slot's
+            # semaphore (the expected count is shape-determined)
+            pltpu.make_async_copy(
+                level_refs[0].at[0, pl.ds(0, tile_h), pl.ds(0, tile_w)],
+                tiles.at[slot],
+                sems.at[slot],
+            ).wait()
+
+        # warm up the pipeline
+        for j in range(NBUF):
+            start_dma(j, j)
+
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (1, spad), 1)
         valid_s = sidx < wsize * wsize
-        sx = tlx + li * dxx + lj * dyx
-        sy = tly + li * dxy + lj * dyy
 
-        ix = jnp.clip(sx.astype(jnp.int32), 0, TILE_W - 2)
-        iy = jnp.clip(sy.astype(jnp.int32), 0, TILE_H - 2)
-        fx = jnp.clip(sx - ix.astype(jnp.float32), 0.0, 1.0)
-        fy = jnp.clip(sy - iy.astype(jnp.float32), 0.0, 1.0)
-        f00 = (1.0 - fx) * (1.0 - fy)
-        f10 = fx * (1.0 - fy)
-        f01 = (1.0 - fx) * fy
-        f11 = fx * fy
+        def one_window(j, _):
+            slot = lax.rem(j, NBUF)
+            wait_dma(slot)
+            tile = tiles[slot]  # [tile_h, tile_w]
 
-        base = iy * TILE_W + ix  # [SPAD, 1]
-        pidx = jax.lax.broadcasted_iota(
-            jnp.int32, (SPAD, TILE_H * TILE_W), 1
-        )
-        w = (
-            f00 * (pidx == base)
-            + f10 * (pidx == base + 1)
-            + f01 * (pidx == base + TILE_W)
-            + f11 * (pidx == base + TILE_W + 1)
-        )
-        tex = jax.lax.dot_general(
-            w,
-            tile[:].reshape(TILE_H * TILE_W, 1),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [SPAD, 1]
-        tex = jnp.where(valid_s, tex, 0.0)
+            # sample coords inside the tile; samples live in the LANE
+            # axis (Mosaic supports dynamic-sublane but not
+            # dynamic-lane stores, so one window = one output row)
+            sx = sx_ref[pl.ds(j, 1), :]  # [1, spad]
+            sy = sy_ref[pl.ds(j, 1), :]
 
-        # zero-mean, unit-RMS over the 49 valid samples
-        sden = float(wsize * wsize)
-        ave = jnp.sum(tex) / sden
-        diff = jnp.where(valid_s, tex - ave, 0.0)
-        msd = jnp.sqrt(jnp.sum(diff * diff) / sden)
-        msd = jnp.where(msd == 0.0, 1.0, msd)
-        out_ref[:, pl.ds(j, 1)] = diff / msd
-        return 0
+            ix = jnp.clip(sx.astype(jnp.int32), 0, tile_w - 2)
+            iy = jnp.clip(sy.astype(jnp.int32), 0, tile_h - 2)
+            fx = jnp.clip(sx - ix.astype(jnp.float32), 0.0, 1.0)
+            fy = jnp.clip(sy - iy.astype(jnp.float32), 0.0, 1.0)
 
-    lax.fori_loop(0, W_BLK, one_window, 0)
+            # bilinear weights factorize: w[s,(r,c)] = wy[r,s]*wx[c,s].
+            # One [tile_h,tile_w]x[tile_w,spad] matmul gathers columns;
+            # a wy-weighted sublane reduction finishes the sample —
+            # ~32x fewer weight ops than a flat one-hot over the tile.
+            cidx = jax.lax.broadcasted_iota(jnp.int32, (tile_w, spad), 0)
+            wx = jnp.where(cidx == ix, 1.0 - fx, 0.0) + jnp.where(
+                cidx == ix + 1, fx, 0.0
+            )  # [tile_w, spad]
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (tile_h, spad), 0)
+            wy = jnp.where(ridx == iy, 1.0 - fy, 0.0) + jnp.where(
+                ridx == iy + 1, fy, 0.0
+            )  # [tile_h, spad]
+            tmp = jax.lax.dot_general(
+                tile,
+                wx,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [tile_h, spad]
+            tex = jnp.sum(wy * tmp, axis=0, keepdims=True)  # [1, spad]
+            tex = jnp.where(valid_s, tex, 0.0)
+
+            # prefetch the tile NBUF windows ahead
+            @pl.when(j + NBUF < W_BLK)
+            def _():
+                start_dma(j + NBUF, slot)
+
+            # zero-mean, unit-RMS over the wsize^2 valid samples
+            sden = float(wsize * wsize)
+            ave = jnp.sum(tex) / sden
+            diff = jnp.where(valid_s, tex - ave, 0.0)
+            msd = jnp.sqrt(jnp.sum(diff * diff) / sden)
+            msd = jnp.where(msd == 0.0, 1.0, msd)
+            out_ref[pl.ds(j, 1), :] = diff / msd
+            return 0
+
+        lax.fori_loop(0, W_BLK, one_window, 0)
+
+    return kernel
 
 
 def sample_windows(
@@ -158,6 +213,7 @@ def sample_windows(
     tl,
     dx,
     dy,
+    wsize: int = 7,
     interpret: bool = False,
 ):
     """Fused sample+normalize for a window batch.
@@ -168,17 +224,20 @@ def sample_windows(
     tl     : [B, 2] lattice origin (pixel coords at `lvl`)
     dx, dy : [B, 2] lattice steps
 
-    Returns normalized windows [SPAD, B] (rows 49.. are zero padding).
-    Callers guarantee the lattice fits the (TILE_H, TILE_W) bounding
-    tile (true for wsize 7 after the level shift of window_geometry,
-    which bounds |dx|+|dy| <= 2*sqrt(2)).
+    Returns (tex [SPAD, B] normalized windows — rows wsize^2.. are zero
+    padding — and fit [B] bool, False where the lattice overflowed the
+    DMA bounding tile and the window values are garbage).
     """
     B = img.shape[0]
     n_levels = len(levels)
-    # tile origin: floor(tl) minus a 2px guard, clamped per level dims
+    tile_h, tile_w, spad = _tile_dims(wsize)
+    # off-TPU (CPU test runs) Mosaic cannot compile: use interpret mode
+    interpret = interpret or jax.default_backend() != "tpu"
+    # tile origin: floor(lattice bbox min) minus a 2px guard, clamped
+    # to keep the tile inside the (padded) level plane
     hs = jnp.asarray([l.shape[1] for l in levels], jnp.int32)[lvl]
     ws = jnp.asarray([l.shape[2] for l in levels], jnp.int32)[lvl]
-    m = 6.0  # wsize - 1 lattice steps
+    m = float(wsize - 1)
     cx = jnp.stack(
         [
             tl[:, 0],
@@ -200,56 +259,95 @@ def sample_windows(
     x0 = jnp.clip(
         jnp.floor(jnp.min(cx, axis=0)).astype(jnp.int32) - 2,
         0,
-        jnp.maximum(ws - TILE_W, 0),
+        jnp.maximum(ws - tile_w, 0),
     )
     y0 = jnp.clip(
         jnp.floor(jnp.min(cy, axis=0)).astype(jnp.int32) - 2,
         0,
-        jnp.maximum(hs - TILE_H, 0),
+        jnp.maximum(hs - tile_h, 0),
+    )
+    # DMA offsets must be tile-aligned (HBM (8,128) tiling): y0 floors
+    # to 8, x0 to 128; tile_h/tile_w carry the alignment slack
+    y0 = (y0 // 8) * 8
+    x0 = (x0 // 128) * 128
+    # exact fit: every sample's 2x2 interp support inside the tile
+    x0f = x0.astype(jnp.float32)
+    y0f = y0.astype(jnp.float32)
+    fit = (
+        (jnp.min(cx, axis=0) >= x0f)
+        & (jnp.max(cx, axis=0) <= x0f + (tile_w - 2))
+        & (jnp.min(cy, axis=0) >= y0f)
+        & (jnp.max(cy, axis=0) <= y0f + (tile_h - 2))
     )
 
-    # pad the window batch to a multiple of the per-program block
-    Bp = ((B + W_BLK - 1) // W_BLK) * W_BLK
-    geos = [
-        tl[:, 0], tl[:, 1], dx[:, 0], dx[:, 1], dy[:, 0], dy[:, 1]
-    ]
+    # per-window sample coordinates RELATIVE to the tile origin,
+    # precomputed in XLA (the kernel reads one [1, spad] row each):
+    # sample s = tl + (s % wsize) * dx + (s // wsize) * dy
+    sarange = jnp.arange(spad, dtype=jnp.float32)
+    li = jnp.minimum(sarange % wsize, wsize - 1)[None, :]
+    lj = jnp.minimum(sarange // wsize, wsize - 1)[None, :]
+    sxr = (
+        tl[:, :1] + dx[:, :1] * li + dy[:, :1] * lj
+        - x0.astype(jnp.float32)[:, None]
+    )  # [B, spad]
+    syr = (
+        tl[:, 1:] + dx[:, 1:] * li + dy[:, 1:] * lj
+        - y0.astype(jnp.float32)[:, None]
+    )
+    # packed SMEM scalars (scalar memory is tiny — two arrays only)
+    il = img.astype(jnp.int32) * n_levels + lvl.astype(jnp.int32)
+    yx = (y0.astype(jnp.int32) << 16) | x0.astype(jnp.int32)
+
+    # chunk the batch: scalar-prefetch operands resident in SMEM bound
+    # the windows a single pallas_call may cover
+    CH = min(32768, _round_up(B, W_BLK))
+    Bp = _round_up(B, CH)
     if Bp != B:
         padn = Bp - B
-        img = jnp.concatenate([img, jnp.zeros((padn,), img.dtype)])
-        lvl_p = jnp.concatenate([lvl, jnp.zeros((padn,), jnp.int32)])
-        x0 = jnp.concatenate([x0, jnp.zeros((padn,), x0.dtype)])
-        y0 = jnp.concatenate([y0, jnp.zeros((padn,), y0.dtype)])
-        geos = [
-            jnp.concatenate([g, jnp.zeros((padn,), jnp.float32)])
-            for g in geos
-        ]
-    else:
-        lvl_p = lvl
-    geos = [g.astype(jnp.float32) for g in geos]
+        il = jnp.concatenate([il, jnp.zeros((padn,), jnp.int32)])
+        yx = jnp.concatenate([yx, jnp.zeros((padn,), jnp.int32)])
+        sxr = jnp.concatenate([sxr, jnp.zeros((padn, spad), jnp.float32)])
+        syr = jnp.concatenate([syr, jnp.zeros((padn, spad), jnp.float32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10,
-        grid=(Bp // W_BLK,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_levels,
+        num_scalar_prefetch=2,
+        grid=(CH // W_BLK,),
+        in_specs=[
+            pl.BlockSpec(
+                (W_BLK, spad), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (W_BLK, spad), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.HBM)] * n_levels,
         out_specs=pl.BlockSpec(
-            (SPAD, W_BLK), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+            (W_BLK, spad), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((NBUF, tile_h, tile_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
-    out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((SPAD, Bp), jnp.float32),
+    call = pl.pallas_call(
+        _make_kernel(n_levels, wsize),
+        out_shape=jax.ShapeDtypeStruct((CH, spad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(
-        img.astype(jnp.int32),
-        lvl_p.astype(jnp.int32),
-        y0,
-        x0,
-        *geos,
-        *levels,
     )
-    return out[:, :B]
+    nch = Bp // CH
+    if nch == 1:
+        out = call(il, yx, sxr, syr, *levels)
+    else:
+        out = lax.map(
+            lambda a: call(a[0], a[1], a[2], a[3], *levels),
+            (
+                il.reshape(nch, CH),
+                yx.reshape(nch, CH),
+                sxr.reshape(nch, CH, spad),
+                syr.reshape(nch, CH, spad),
+            ),
+        ).reshape(Bp, spad)
+    return out[:B].T, fit

@@ -134,11 +134,11 @@ def refine_batch(
     )
     p0 = p0.at[:, 1:].set(jnp.clip(p0[:, 1:], -ANGLE_BOUND, ANGLE_BOUND))
 
-    def cost_of(p):
+    def cost_of(p, sc=scene):
         c = decode_coord(center, ray, safe_dscale, p[:, 0])
-        n = decode_normal(scene, ref, p[:, 1] * ascale, p[:, 2] * ascale)
+        n = decode_normal(sc, ref, p[:, 1] * ascale, p[:, 2] * ascale)
         return _eval_cost(
-            scene, views, c, n, minimum, level, wsize, angle_threshold1,
+            sc, views, c, n, minimum, level, wsize, angle_threshold1,
             luma=luma,
         )
 
@@ -207,7 +207,16 @@ def refine_batch(
     # the reference's derivative-free BOBYQA cannot use); safeguarded
     # accept-if-better steps so the polish can only improve the cost
     if grad_steps > 0:
-        grad_fn = jax.grad(lambda p: jnp.sum(cost_of(p)))
+        # the Pallas sampler has no VJP; gradients flow through the
+        # differentiable gather path instead
+        import dataclasses as _dc
+
+        gscene = (
+            _dc.replace(scene, planes_luma_levels=None)
+            if scene.planes_luma_levels is not None
+            else scene
+        )
+        grad_fn = jax.grad(lambda p: jnp.sum(cost_of(p, gscene)))
         for _ in range(grad_steps):
             g = grad_fn(best_p)
             gn = jnp.sqrt(jnp.maximum(jnp.sum(g * g, axis=-1, keepdims=True), 1e-12))

@@ -40,9 +40,10 @@ def test_pallas_matches_jnp_sampler():
     ref = np.asarray(tex_jnp)[0, 0]  # [S, B]
 
     levels = pk.luma_levels_from_scene(scene)
-    out = pk.sample_windows(
+    out, fit = pk.sample_windows(
         levels, idx, new_level, tl, dx2, dy2, interpret=True
     )
+    assert np.asarray(fit)[np.asarray(valid)].all()
     got = np.asarray(out)[: WSIZE * WSIZE]  # [S, B]
 
     # compare normalized windows where valid (both zero-mean/unit-RMS)
@@ -52,3 +53,51 @@ def test_pallas_matches_jnp_sampler():
         np.testing.assert_allclose(got[:, b], ref[:, b], atol=5e-2), b
     # padding rows are zero
     np.testing.assert_allclose(np.asarray(out)[WSIZE * WSIZE :], 0.0)
+
+
+def test_texs_for_views_pallas_branch_matches_jnp():
+    """enable_pallas_luma routes texs_for_views(luma=True) through the
+    kernel (interpret mode on CPU) and must agree with the gather path
+    wherever both mark the window valid."""
+    Ps, _, scene = synthetic.plane_scene(n_views=4, width=160, height=120)
+    coord, normal = synthetic.plane_points(Ps, 16, extent=0.5)
+    coord = jnp.asarray(coord, jnp.float32)
+    normal = jnp.asarray(normal, jnp.float32)
+    B = coord.shape[0]
+    views = jnp.broadcast_to(
+        jnp.arange(3, dtype=jnp.int32)[None], (B, 3)
+    )
+
+    tex_ref, val_ref = nccops.texs_for_views(
+        scene, views, coord, normal, LEVEL, WSIZE, A1, luma=True
+    )
+    pscene = pk.enable_pallas_luma(scene)
+    tex_pal, val_pal = nccops.texs_for_views(
+        pscene, views, coord, normal, LEVEL, WSIZE, A1, luma=True
+    )
+    assert tex_pal.shape == tex_ref.shape == (1, 3, WSIZE * WSIZE, B)
+    vr = np.asarray(val_ref)
+    vp = np.asarray(val_pal)
+    # pallas validity additionally masks tile-overflow windows
+    assert (~vr | vp | ~vp).all()  # vp implies vr may differ only by fit
+    both = vr & vp
+    assert both.sum() >= 8
+    np.testing.assert_allclose(
+        np.asarray(tex_pal)[0].transpose(0, 2, 1)[both],
+        np.asarray(tex_ref)[0].transpose(0, 2, 1)[both],
+        atol=5e-2,
+    )
+
+    # the full NCC aggregation agrees too
+    w = jnp.ones((B, 3), jnp.float32)
+    s_ref = nccops.incc_weighted(
+        jnp.where(jnp.asarray(both)[None, :, None, :], tex_ref, 0.0),
+        jnp.asarray(both), w,
+    )
+    s_pal = nccops.incc_weighted(
+        jnp.where(jnp.asarray(both)[None, :, None, :], tex_pal, 0.0),
+        jnp.asarray(both), w,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_pal), np.asarray(s_ref), atol=2e-2
+    )

@@ -57,7 +57,7 @@ def main():
 
     @jax.jit
     def run_pallas(levels, idx, lvl, tl, dx, dy):
-        out = pk.sample_windows(levels, idx, lvl, tl, dx, dy)
+        out, _fit = pk.sample_windows(levels, idx, lvl, tl, dx, dy)
         return jnp.sum(out * out)  # tiny pull
 
     # jnp gather path on the same windows (luma quad = 1 fetch/sample)
