@@ -77,6 +77,10 @@ def main() -> None:
     print(f"building scene {n_views}x{w}x{h}...", file=sys.stderr)
     Ps, _, scene = plane_scene(n_views=n_views, width=w, height=h,
                                max_level=level + 3)
+    if os.environ.get("BENCH_PALLAS", "1") == "1":
+        from mvskit_tpu.ops import pallas_ncc as pk
+
+        scene = pk.enable_pallas(scene)
     coord, normal = plane_points(Ps, B, extent=1.2)
     coord = jnp.asarray(coord, jnp.float32)
     normal = jnp.asarray(normal, jnp.float32)

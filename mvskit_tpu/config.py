@@ -70,6 +70,9 @@ class MVSConfig:
     max_num_of_propag: int = 2
 
     # ---- TPU-native knobs ----
+    use_pallas: bool = True                  # tile-DMA sampling kernel for
+                                             # NCC windows (auto-off when the
+                                             # backend is not a real TPU)
     strategy: str = "pm_image"               # "pm_image" | "pmvs"
     prop_rounds: int = 8                     # checkerboard rounds per outer iter
     donor_budget: int = 16384                # max donors per propagation phase

@@ -151,8 +151,11 @@ class Scene:
     planes_luma_quad: Optional[jnp.ndarray] = None
     # per-level [n*illums, h_l, w_l] f32 luminance planes — the operand
     # layout of the Pallas tile-DMA sampling kernel (ops/pallas_ncc);
-    # populated by ops.pallas_ncc.enable_pallas_luma
+    # populated by ops.pallas_ncc.enable_pallas_luma / enable_pallas
     planes_luma_levels: Optional[Tuple[jnp.ndarray, ...]] = None
+    # per-level [n*illums, h_l, w_l] packed-RGB int32 planes for the
+    # RGB Pallas kernel (the default NCC path when populated)
+    planes_rgb_levels: Optional[Tuple[jnp.ndarray, ...]] = None
     # optional [n, n] bool covisibility (vis.dat); None = all pairs
     covis: Optional[jnp.ndarray] = None
     # static:
@@ -172,6 +175,7 @@ class Scene:
             self.planes_packed,
             self.planes_luma_quad,
             self.planes_luma_levels,
+            self.planes_rgb_levels,
             self.covis,
         )
         aux = (self.widths, self.heights, self.offsets, self.max_level)

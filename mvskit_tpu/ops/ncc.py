@@ -196,7 +196,9 @@ def texs_for_views(
         angle_threshold1,
     )
     s = wsize * wsize
-    if luma and scene.planes_luma_levels is not None:
+    use_luma_kernel = luma and scene.planes_luma_levels is not None
+    use_rgb_kernel = (not luma) and scene.planes_rgb_levels is not None
+    if (use_luma_kernel or use_rgb_kernel) and wsize <= 7:
         # Pallas tile-DMA sampling path: per-window bounding-tile DMA +
         # factorized one-hot MXU matmuls replace the per-index gathers
         # (ops/pallas_ncc.py). Output arrives normalized.
@@ -205,15 +207,25 @@ def texs_for_views(
         ni = scene.n_illums
         imgs = (idx * ni + illum).reshape(-1)
         out, fit = pk.sample_windows(
-            scene.planes_luma_levels,
+            scene.planes_rgb_levels
+            if use_rgb_kernel
+            else scene.planes_luma_levels,
             imgs,
             new_level.reshape(-1),
             tl.reshape(-1, 2),
             dx2.reshape(-1, 2),
             dy2.reshape(-1, 2),
             wsize=wsize,
-        )  # [SPAD, T*B], [T*B]
-        tex = jnp.moveaxis(out[:s].reshape(s, T, B), 0, 1)[None]
+            rgb=use_rgb_kernel,
+        )  # [C*SPAD, T*B], [T*B]
+        spad = out.shape[0] // (3 if use_rgb_kernel else 1)
+        chans = [
+            jnp.moveaxis(
+                out[c * spad : c * spad + s].reshape(s, T, B), 0, 1
+            )
+            for c in range(3 if use_rgb_kernel else 1)
+        ]
+        tex = jnp.stack(chans, axis=0)  # [C, T, S, B]
         valid = valid & (views_t >= 0) & fit.reshape(T, B)
         return tex, valid
     xs = jnp.arange(wsize, dtype=jnp.float32)

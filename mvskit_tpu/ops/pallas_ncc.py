@@ -14,9 +14,11 @@ sublane reduction), and applies the zero-mean/unit-RMS normalization of
 reference optim.cpp:917-940 in-register. DMA issue rate replaces gather
 rate as the limiting resource.
 
-v1 operates on luminance pyramids (the luma fast path; the RGB variant
-triples the tile planes). Numerics are validated against the jnp
-sampler in interpret mode (tests/test_pallas_ncc.py).
+Two modes share the machinery: LUMA (f32 luminance planes, one matmul
+per window) and RGB (packed r|g<<8|b<<16 int32 planes — same DMA bytes,
+three unpack+matmul passes, joint 3-channel normalization as in the
+reference). Numerics are validated against the jnp sampler in
+interpret mode (tests/test_pallas_ncc.py).
 """
 
 from __future__ import annotations
@@ -59,6 +61,26 @@ def _tile_dims(wsize: int) -> Tuple[int, int, int]:
     return tile_h, tile_w, spad
 
 
+def _split_pad_levels(scene, flat) -> Tuple[jnp.ndarray, ...]:
+    """Split a flat [N, total_px] buffer into per-level [N, h_l, w_l]
+    planes padded so aligned DMA slices stay in bounds: height to
+    >= tile_h (8-multiple), width to >= tile_w (128-multiple). The
+    border-safety margins of window_geometry keep real samples inside
+    the true extent; padding is never sampled."""
+    tile_h, tile_w, _ = _tile_dims(7)
+    out = []
+    n = flat.shape[0]
+    for l in range(scene.max_level):
+        o, wl, hl = scene.offsets[l], scene.widths[l], scene.heights[l]
+        plane = flat[:, o : o + wl * hl].reshape(n, hl, wl)
+        hp = _round_up(max(hl, tile_h), 8)
+        wp = _round_up(max(wl, tile_w), 128)
+        if hp != hl or wp != wl:
+            plane = jnp.pad(plane, ((0, 0), (0, hp - hl), (0, wp - wl)))
+        out.append(plane)
+    return tuple(out)
+
+
 def luma_levels_from_scene(scene) -> Tuple[jnp.ndarray, ...]:
     """Per-level luminance planes [n*I, h_l, w_l] f32 for the kernel."""
     n, ni, total, _ = scene.planes.shape
@@ -69,21 +91,16 @@ def luma_levels_from_scene(scene) -> Tuple[jnp.ndarray, ...]:
         + 0.587 * scene.planes[..., 1]
         + 0.114 * scene.planes[..., 2]
     ), 0, 255).reshape(n * ni, total)
-    tile_h, tile_w, _ = _tile_dims(7)
-    out = []
-    for l in range(scene.max_level):
-        o, wl, hl = scene.offsets[l], scene.widths[l], scene.heights[l]
-        plane = luma[:, o : o + wl * hl].reshape(n * ni, hl, wl)
-        # pad every plane so aligned DMA slices stay in bounds: height
-        # to >= tile_h (8-multiple), width to >= tile_w (128-multiple).
-        # The border-safety margins of window_geometry keep real
-        # samples inside the true extent; padding is never sampled.
-        hp = _round_up(max(hl, tile_h), 8)
-        wp = _round_up(max(wl, tile_w), 128)
-        if hp != hl or wp != wl:
-            plane = jnp.pad(plane, ((0, 0), (0, hp - hl), (0, wp - wl)))
-        out.append(plane)
-    return tuple(out)
+    return _split_pad_levels(scene, luma)
+
+
+def rgb_levels_from_scene(scene) -> Tuple[jnp.ndarray, ...]:
+    """Per-level packed-RGB planes [n*I, h_l, w_l] int32 (r|g<<8|b<<16,
+    lossless for the u8-quantized pyramids) for the RGB kernel."""
+    n, ni, total = scene.planes_packed.shape
+    return _split_pad_levels(
+        scene, scene.planes_packed.reshape(n * ni, total)
+    )
 
 
 def enable_pallas_luma(scene):
@@ -96,7 +113,23 @@ def enable_pallas_luma(scene):
     )
 
 
-def _make_kernel(n_levels: int, wsize: int):
+def enable_pallas(scene):
+    """Return a Scene with BOTH kernel operand sets (RGB default path
+    and the opt-in luma fast mode) populated."""
+    import dataclasses
+
+    return dataclasses.replace(
+        scene,
+        planes_luma_levels=luma_levels_from_scene(scene),
+        planes_rgb_levels=(
+            rgb_levels_from_scene(scene)
+            if scene.planes_packed is not None
+            else None
+        ),
+    )
+
+
+def _make_kernel(n_levels: int, wsize: int, rgb: bool = False):
     tile_h, tile_w, spad = _tile_dims(wsize)
 
     def kernel(
@@ -178,27 +211,50 @@ def _make_kernel(n_levels: int, wsize: int):
             wy = jnp.where(ridx == iy, 1.0 - fy, 0.0) + jnp.where(
                 ridx == iy + 1, fy, 0.0
             )  # [tile_h, spad]
-            tmp = jax.lax.dot_general(
-                tile,
-                wx,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [tile_h, spad]
-            tex = jnp.sum(wy * tmp, axis=0, keepdims=True)  # [1, spad]
-            tex = jnp.where(valid_s, tex, 0.0)
+
+            def sample_plane(plane):
+                tmp = jax.lax.dot_general(
+                    plane,
+                    wx,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [tile_h, spad]
+                t = jnp.sum(wy * tmp, axis=0, keepdims=True)  # [1, spad]
+                return jnp.where(valid_s, t, 0.0)
+
+            if rgb:
+                # unpack r|g<<8|b<<16 — the DMA moved the same bytes as
+                # one luma plane; only compute triples
+                chans = [
+                    sample_plane(
+                        ((tile >> sh) & 0xFF).astype(jnp.float32)
+                    )
+                    for sh in (0, 8, 16)
+                ]
+            else:
+                chans = [sample_plane(tile)]
 
             # prefetch the tile NBUF windows ahead
             @pl.when(j + NBUF < W_BLK)
             def _():
                 start_dma(j + NBUF, slot)
 
-            # zero-mean, unit-RMS over the wsize^2 valid samples
+            # per-channel zero-mean, joint unit-RMS (reference
+            # optim.cpp:917-940: each channel is centered separately,
+            # one RMS divides all channels)
             sden = float(wsize * wsize)
-            ave = jnp.sum(tex) / sden
-            diff = jnp.where(valid_s, tex - ave, 0.0)
-            msd = jnp.sqrt(jnp.sum(diff * diff) / sden)
+            diffs = [
+                jnp.where(valid_s, t - jnp.sum(t) / sden, 0.0)
+                for t in chans
+            ]
+            msd = jnp.sqrt(
+                sum(jnp.sum(d * d) for d in diffs)
+                / (len(chans) * sden)
+            )
             msd = jnp.where(msd == 0.0, 1.0, msd)
-            out_ref[pl.ds(j, 1), :] = diff / msd
+            out_ref[pl.ds(j, 1), :] = (
+                jnp.concatenate(diffs, axis=1) / msd
+            )
             return 0
 
         lax.fori_loop(0, W_BLK, one_window, 0)
@@ -214,19 +270,22 @@ def sample_windows(
     dx,
     dy,
     wsize: int = 7,
+    rgb: bool = False,
     interpret: bool = False,
 ):
     """Fused sample+normalize for a window batch.
 
-    levels : per-level [n*I, h_l, w_l] f32 luminance planes
+    levels : per-level [n*I, h_l, w_l] planes — f32 luminance, or
+             packed-RGB int32 with rgb=True
     img    : [B] view*illum plane index
     lvl    : [B] resolved pyramid level of each window
     tl     : [B, 2] lattice origin (pixel coords at `lvl`)
     dx, dy : [B, 2] lattice steps
 
-    Returns (tex [SPAD, B] normalized windows — rows wsize^2.. are zero
-    padding — and fit [B] bool, False where the lattice overflowed the
-    DMA bounding tile and the window values are garbage).
+    Returns (tex [C*SPAD, B] normalized windows, channel-major — rows
+    wsize^2.. of each channel block are zero padding — and fit [B]
+    bool, False where the lattice overflowed the DMA bounding tile and
+    the window values are garbage). C = 3 with rgb else 1.
     """
     B = img.shape[0]
     n_levels = len(levels)
@@ -309,6 +368,7 @@ def sample_windows(
         sxr = jnp.concatenate([sxr, jnp.zeros((padn, spad), jnp.float32)])
         syr = jnp.concatenate([syr, jnp.zeros((padn, spad), jnp.float32)])
 
+    nchan = 3 if rgb else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(CH // W_BLK,),
@@ -324,16 +384,20 @@ def sample_windows(
         ]
         + [pl.BlockSpec(memory_space=pltpu.HBM)] * n_levels,
         out_specs=pl.BlockSpec(
-            (W_BLK, spad), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            (W_BLK, nchan * spad), lambda i, *_: (i, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, tile_h, tile_w), jnp.float32),
+            pltpu.VMEM(
+                (NBUF, tile_h, tile_w),
+                jnp.int32 if rgb else jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
     call = pl.pallas_call(
-        _make_kernel(n_levels, wsize),
-        out_shape=jax.ShapeDtypeStruct((CH, spad), jnp.float32),
+        _make_kernel(n_levels, wsize, rgb),
+        out_shape=jax.ShapeDtypeStruct((CH, nchan * spad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )
@@ -349,5 +413,5 @@ def sample_windows(
                 sxr.reshape(nch, CH, spad),
                 syr.reshape(nch, CH, spad),
             ),
-        ).reshape(Bp, spad)
+        ).reshape(Bp, nchan * spad)
     return out[:B].T, fit

@@ -37,6 +37,13 @@ class PMMVS:
             cfg.prefix, cfg.images, cfg.nillums, cfg.max_level,
             use_vis_data=bool(cfg.use_vis_data),
         )
+        # route NCC window sampling through the Pallas tile-DMA kernel
+        # (ops/pallas_ncc): ~20x the gather path on a v5e. Off-TPU the
+        # kernel only runs interpreted — keep the gather path there.
+        if cfg.use_pallas and jax.default_backend() == "tpu":
+            from ..ops import pallas_ncc as _pk
+
+            self.scene = _pk.enable_pallas(self.scene)
         self.table: Optional[pt.PatchTable] = None
         # mutable threshold state (annealed; reference pmmvps.cpp:70-74)
         self.ncc_threshold = cfg.ncc_threshold

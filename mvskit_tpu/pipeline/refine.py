@@ -211,10 +211,8 @@ def refine_batch(
         # differentiable gather path instead
         import dataclasses as _dc
 
-        gscene = (
-            _dc.replace(scene, planes_luma_levels=None)
-            if scene.planes_luma_levels is not None
-            else scene
+        gscene = _dc.replace(
+            scene, planes_luma_levels=None, planes_rgb_levels=None
         )
         grad_fn = jax.grad(lambda p: jnp.sum(cost_of(p, gscene)))
         for _ in range(grad_steps):

@@ -90,6 +90,10 @@ def test_texs_for_views_pallas_branch_matches_jnp():
 
     # the full NCC aggregation agrees too
     w = jnp.ones((B, 3), jnp.float32)
+    _check_aggregation(tex_ref, tex_pal, both, w)
+
+
+def _check_aggregation(tex_ref, tex_pal, both, w):
     s_ref = nccops.incc_weighted(
         jnp.where(jnp.asarray(both)[None, :, None, :], tex_ref, 0.0),
         jnp.asarray(both), w,
@@ -101,3 +105,38 @@ def test_texs_for_views_pallas_branch_matches_jnp():
     np.testing.assert_allclose(
         np.asarray(s_pal), np.asarray(s_ref), atol=2e-2
     )
+
+
+def test_texs_for_views_pallas_rgb_matches_jnp():
+    """The RGB kernel (packed int32 tiles, 3-channel joint
+    normalization) is the DEFAULT path once enable_pallas populates
+    planes_rgb_levels; it must agree with the packed-gather path."""
+    Ps, _, scene = synthetic.plane_scene(n_views=4, width=160, height=120)
+    coord, normal = synthetic.plane_points(Ps, 16, extent=0.5)
+    coord = jnp.asarray(coord, jnp.float32)
+    normal = jnp.asarray(normal, jnp.float32)
+    B = coord.shape[0]
+    views = jnp.broadcast_to(
+        jnp.arange(3, dtype=jnp.int32)[None], (B, 3)
+    )
+
+    tex_ref, val_ref = nccops.texs_for_views(
+        scene, views, coord, normal, LEVEL, WSIZE, A1
+    )
+    pscene = pk.enable_pallas(scene)
+    assert pscene.planes_rgb_levels is not None
+    tex_pal, val_pal = nccops.texs_for_views(
+        pscene, views, coord, normal, LEVEL, WSIZE, A1
+    )
+    assert tex_pal.shape == tex_ref.shape == (3, 3, WSIZE * WSIZE, B)
+    vr = np.asarray(val_ref)
+    vp = np.asarray(val_pal)
+    both = vr & vp
+    assert both.sum() >= 8
+    np.testing.assert_allclose(
+        np.asarray(tex_pal).transpose(1, 3, 0, 2)[both],
+        np.asarray(tex_ref).transpose(1, 3, 0, 2)[both],
+        atol=5e-2,
+    )
+    w = jnp.ones((B, 3), jnp.float32)
+    _check_aggregation(tex_ref, tex_pal, both, w)

@@ -53,12 +53,20 @@ def main():
 
     levels = pk.luma_levels_from_scene(scene)
     levels = jax.device_put(levels)
+    levels_rgb = jax.device_put(pk.rgb_levels_from_scene(scene))
     args = jax.device_put((idx, new_level, tl, dx2, dy2))
 
     @jax.jit
     def run_pallas(levels, idx, lvl, tl, dx, dy):
         out, _fit = pk.sample_windows(levels, idx, lvl, tl, dx, dy)
         return jnp.sum(out * out)  # tiny pull
+
+    @jax.jit
+    def run_pallas_rgb(levels, idx, lvl, tl, dx, dy):
+        out, _fit = pk.sample_windows(
+            levels, idx, lvl, tl, dx, dy, rgb=True
+        )
+        return jnp.sum(out * out)
 
     # jnp gather path on the same windows (luma quad = 1 fetch/sample)
     @jax.jit
@@ -105,11 +113,26 @@ def main():
     msps = B * WSIZE * WSIZE / dt / 1e6
     mwps = B / dt / 1e6
     print(
-        f"pallas: {dt*1e3:.1f} ms -> {mwps:.2f} Mwindows/s, "
+        f"pallas luma: {dt*1e3:.1f} ms -> {mwps:.2f} Mwindows/s, "
         f"{msps:.1f} Msamples/s (times {[f'{t*1e3:.0f}' for t in times]})",
         file=sys.stderr,
     )
     print(f"PALLAS_MSPS={msps:.2f}")
+
+    print("compiling pallas rgb...", file=sys.stderr)
+    t0 = time.time()
+    v = np.asarray(run_pallas_rgb(levels_rgb, *args))
+    print(f"  first call {time.time()-t0:.1f}s, out {v:.3f}", file=sys.stderr)
+    times = [timed(run_pallas_rgb, levels_rgb, *args) for _ in range(reps)]
+    dt = max(1e-9, min(times) - lat)
+    msps = B * WSIZE * WSIZE / dt / 1e6
+    mwps = B / dt / 1e6
+    print(
+        f"pallas rgb: {dt*1e3:.1f} ms -> {mwps:.2f} Mwindows/s, "
+        f"{msps:.1f} Msamples/s (times {[f'{t*1e3:.0f}' for t in times]})",
+        file=sys.stderr,
+    )
+    print(f"PALLAS_RGB_MSPS={msps:.2f}")
 
 
 if __name__ == "__main__":
