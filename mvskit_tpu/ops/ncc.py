@@ -225,9 +225,9 @@ def texs_for_views(
             )
             for c in range(3 if use_rgb_kernel else 1)
         ]
-        tex = jnp.stack(chans, axis=0)  # [C, T, S, B]
+        tex = jnp.stack(chans, axis=0)  # [C, T, S, B] raw samples
         valid = valid & (views_t >= 0) & fit.reshape(T, B)
-        return tex, valid
+        return normalize_tex(tex), valid
     xs = jnp.arange(wsize, dtype=jnp.float32)
     lat_x = jnp.tile(xs, wsize)[None, :, None]      # [1, S, 1]
     lat_y = jnp.repeat(xs, wsize)[None, :, None]

@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 W_BLK = 128  # windows per program
-NBUF = 8     # DMA pipeline depth (tiles in flight)
+NBUF = 16    # DMA pipeline depth (tiles in flight)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -129,11 +129,22 @@ def enable_pallas(scene):
     )
 
 
-def _make_kernel(n_levels: int, wsize: int, rgb: bool = False):
+def _make_kernel(
+    n_levels: int, wsize: int, rgb: bool = False, ablate: str = ""
+):
+    """ablate: '' normal; 'nodma' skips the tile fetches (garbage out);
+    'nocompute' fetches but stores a trivial function of the tile —
+    perf-tuning scaffolding for separating DMA from compute cost."""
     tile_h, tile_w, spad = _tile_dims(wsize)
 
+    # compacted window width: after the dynamic lane rotation the
+    # window lattice starts at lane 0 and fits in CW lanes
+    cw = 32
+
     def kernel(
-        # scalar prefetch (SMEM): packed ids img*L+lvl, y0<<16|x0
+        # scalar prefetch (SMEM): packed ids img*L+lvl,
+        # y0<<16 | x0_aligned | lane_off (x0_aligned is a multiple of
+        # 128 so the low 7 bits of the x field carry the offset)
         il_ref, yx_ref,
         # VMEM-blocked per-window sample coords (relative to the tile
         # origin, precomputed in XLA), then HBM level planes
@@ -149,13 +160,15 @@ def _make_kernel(n_levels: int, wsize: int, rgb: bool = False):
 
         def start_dma(j, slot):
             """Issue the HBM->VMEM tile fetch for window j into slot."""
+            if ablate == "nodma":
+                return
             i = blk * W_BLK + j
             il = il_ref[i]
             img = il // n_levels
             lvl = il - img * n_levels
             yx = yx_ref[i]
-            y0 = pl.multiple_of(yx >> 16, 8)      # host floors to 8
-            x0 = pl.multiple_of(yx & 0xFFFF, 128)  # host floors to 128
+            y0 = pl.multiple_of((yx >> 18) * 8, 8)
+            x0 = pl.multiple_of(((yx >> 8) & 0x3FF) * 128, 128)
             for l in range(n_levels):
                 @pl.when(lvl == l)
                 def _(l=l):
@@ -168,6 +181,8 @@ def _make_kernel(n_levels: int, wsize: int, rgb: bool = False):
                     ).start()
 
         def wait_dma(slot):
+            if ablate == "nodma":
+                return
             # equal-sized descriptor purely to wait on the slot's
             # semaphore (the expected count is shape-determined)
             pltpu.make_async_copy(
@@ -180,81 +195,111 @@ def _make_kernel(n_levels: int, wsize: int, rgb: bool = False):
         for j in range(NBUF):
             start_dma(j, j)
 
-        sidx = jax.lax.broadcasted_iota(jnp.int32, (1, spad), 1)
-        valid_s = sidx < wsize * wsize
-
         def one_window(j, _):
             slot = lax.rem(j, NBUF)
             wait_dma(slot)
-            tile = tiles[slot]  # [tile_h, tile_w]
+            if ablate == "nocompute":
+                nch = 3 if rgb else 1
+                out_ref[pl.ds(j, 1), :] = tiles[slot][
+                    0:1, : nch * spad
+                ].astype(jnp.float32)
 
-            # sample coords inside the tile; samples live in the LANE
-            # axis (Mosaic supports dynamic-sublane but not
+                @pl.when(j + NBUF < W_BLK)
+                def _():
+                    start_dma(j + NBUF, slot)
+
+                return 0
+            i = blk * W_BLK + j
+            off = yx_ref[i] & 0xFF
+            # rotate the DMA'd tile so the window lattice starts at
+            # lane 0 and keep CW lanes: weight construction and the
+            # sampling matmul shrink from K=tile_w to K=CW
+            if ablate == "norot":
+                tile = tiles[slot][:, :cw]
+            else:
+                tile = pltpu.roll(
+                    tiles[slot], lax.rem(tile_w - off, tile_w), 1
+                )[:, :cw]
+
+            # sample coords inside the compact tile; samples live in
+            # the LANE axis (Mosaic supports dynamic-sublane but not
             # dynamic-lane stores, so one window = one output row)
             sx = sx_ref[pl.ds(j, 1), :]  # [1, spad]
             sy = sy_ref[pl.ds(j, 1), :]
 
-            ix = jnp.clip(sx.astype(jnp.int32), 0, tile_w - 2)
+            ix = jnp.clip(sx.astype(jnp.int32), 0, cw - 2)
             iy = jnp.clip(sy.astype(jnp.int32), 0, tile_h - 2)
             fx = jnp.clip(sx - ix.astype(jnp.float32), 0.0, 1.0)
             fy = jnp.clip(sy - iy.astype(jnp.float32), 0.0, 1.0)
+            if ablate == "nowx":
+                # constant weights (hoisted): measures the chain minus
+                # the per-window weight construction
+                ix = jnp.zeros_like(ix)
+                iy = jnp.zeros_like(iy)
+                fx = jnp.zeros_like(fx)
+                fy = jnp.zeros_like(fy)
 
             # bilinear weights factorize: w[s,(r,c)] = wy[r,s]*wx[c,s].
-            # One [tile_h,tile_w]x[tile_w,spad] matmul gathers columns;
-            # a wy-weighted sublane reduction finishes the sample —
-            # ~32x fewer weight ops than a flat one-hot over the tile.
-            cidx = jax.lax.broadcasted_iota(jnp.int32, (tile_w, spad), 0)
+            # One [tile_h,cw]x[cw,spad] matmul gathers columns; a
+            # wy-weighted sublane reduction finishes the sample —
+            # far fewer weight ops than a flat one-hot over the tile.
+            cidx = jax.lax.broadcasted_iota(jnp.int32, (cw, spad), 0)
             wx = jnp.where(cidx == ix, 1.0 - fx, 0.0) + jnp.where(
                 cidx == ix + 1, fx, 0.0
-            )  # [tile_w, spad]
+            )  # [cw, spad]
             ridx = jax.lax.broadcasted_iota(jnp.int32, (tile_h, spad), 0)
             wy = jnp.where(ridx == iy, 1.0 - fy, 0.0) + jnp.where(
                 ridx == iy + 1, fy, 0.0
             )  # [tile_h, spad]
 
-            def sample_plane(plane):
+            if rgb:
+                # unpack r|g<<8|b<<16 (the DMA moved the same bytes as
+                # one luma plane) and stack the channel tiles along
+                # sublanes: ONE [3*tile_h, cw] x [cw, spad] matmul
+                # fills the MXU's M dimension (M=96) instead of three
+                # M=32 passes
+                planes = jnp.concatenate(
+                    [
+                        ((tile >> sh) & 0xFF).astype(jnp.float32)
+                        for sh in (0, 8, 16)
+                    ],
+                    axis=0,
+                )  # [3*tile_h, cw]
+            else:
+                planes = tile
+            if ablate == "nomm":
+                tmp = jnp.broadcast_to(
+                    planes[:, :1], (planes.shape[0], spad)
+                ) + wx[:1]
+            else:
                 tmp = jax.lax.dot_general(
-                    plane,
+                    planes,
                     wx,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # [tile_h, spad]
-                t = jnp.sum(wy * tmp, axis=0, keepdims=True)  # [1, spad]
-                return jnp.where(valid_s, t, 0.0)
-
-            if rgb:
-                # unpack r|g<<8|b<<16 — the DMA moved the same bytes as
-                # one luma plane; only compute triples
-                chans = [
-                    sample_plane(
-                        ((tile >> sh) & 0xFF).astype(jnp.float32)
-                    )
-                    for sh in (0, 8, 16)
-                ]
-            else:
-                chans = [sample_plane(tile)]
+                )  # [C*tile_h, spad]
+            nchan = 3 if rgb else 1
+            chans = [
+                jnp.sum(
+                    wy * tmp[c * tile_h : (c + 1) * tile_h],
+                    axis=0,
+                    keepdims=True,
+                )
+                for c in range(nchan)
+            ]
 
             # prefetch the tile NBUF windows ahead
             @pl.when(j + NBUF < W_BLK)
             def _():
                 start_dma(j + NBUF, slot)
 
-            # per-channel zero-mean, joint unit-RMS (reference
-            # optim.cpp:917-940: each channel is centered separately,
-            # one RMS divides all channels)
-            sden = float(wsize * wsize)
-            diffs = [
-                jnp.where(valid_s, t - jnp.sum(t) / sden, 0.0)
-                for t in chans
-            ]
-            msd = jnp.sqrt(
-                sum(jnp.sum(d * d) for d in diffs)
-                / (len(chans) * sden)
-            )
-            msd = jnp.where(msd == 0.0, 1.0, msd)
-            out_ref[pl.ds(j, 1), :] = (
-                jnp.concatenate(diffs, axis=1) / msd
-            )
+            # RAW samples out — normalization (reference
+            # optim.cpp:917-940) happens outside in one batched XLA
+            # pass at memory bandwidth; in-kernel it would add ~10
+            # serial latency-bound ops to every window's chain.
+            # Lanes wsize^2..spad of each channel block are lattice
+            # duplicates the caller slices away.
+            out_ref[pl.ds(j, 1), :] = jnp.concatenate(chans, axis=1)
             return 0
 
         lax.fori_loop(0, W_BLK, one_window, 0)
@@ -272,6 +317,7 @@ def sample_windows(
     wsize: int = 7,
     rgb: bool = False,
     interpret: bool = False,
+    ablate: str = "",
 ):
     """Fused sample+normalize for a window batch.
 
@@ -282,10 +328,12 @@ def sample_windows(
     tl     : [B, 2] lattice origin (pixel coords at `lvl`)
     dx, dy : [B, 2] lattice steps
 
-    Returns (tex [C*SPAD, B] normalized windows, channel-major — rows
-    wsize^2.. of each channel block are zero padding — and fit [B]
-    bool, False where the lattice overflowed the DMA bounding tile and
-    the window values are garbage). C = 3 with rgb else 1.
+    Returns (tex [C*SPAD, B] RAW sampled windows, channel-major — rows
+    wsize^2.. of each channel block are lattice duplicates to discard —
+    and fit [B] bool, False where the lattice overflowed the DMA
+    bounding tile and the window values are garbage). C = 3 with rgb
+    else 1. Normalization (optim.cpp:917-940) is the caller's batched
+    XLA pass (ncc.normalize_tex).
     """
     B = img.shape[0]
     n_levels = len(levels)
@@ -315,10 +363,13 @@ def sample_windows(
         ],
         axis=0,
     )
-    x0 = jnp.clip(
+    cw = 32  # compact window width (kernel slices this after rotation)
+    # exact window origin; the kernel's dynamic lane rotation brings
+    # lane x0e of the aligned DMA tile to lane 0
+    x0e = jnp.clip(
         jnp.floor(jnp.min(cx, axis=0)).astype(jnp.int32) - 2,
         0,
-        jnp.maximum(ws - tile_w, 0),
+        jnp.maximum(ws - cw, 0),
     )
     y0 = jnp.clip(
         jnp.floor(jnp.min(cy, axis=0)).astype(jnp.int32) - 2,
@@ -326,15 +377,21 @@ def sample_windows(
         jnp.maximum(hs - tile_h, 0),
     )
     # DMA offsets must be tile-aligned (HBM (8,128) tiling): y0 floors
-    # to 8, x0 to 128; tile_h/tile_w carry the alignment slack
+    # to 8 (tile_h carries the slack), x0 floors to 128 but clamps so
+    # the tile stays in bounds — the lane offset is carried separately
+    # (off <= tile_w - cw by the x0e clip above)
     y0 = (y0 // 8) * 8
-    x0 = (x0 // 128) * 128
-    # exact fit: every sample's 2x2 interp support inside the tile
-    x0f = x0.astype(jnp.float32)
+    x0a = jnp.minimum(
+        (x0e // 128) * 128, jnp.maximum(ws - tile_w, 0)
+    )
+    off = x0e - x0a
+    # exact fit: every sample's 2x2 interp support inside the compact
+    # window and the tile rows
+    x0f = x0e.astype(jnp.float32)
     y0f = y0.astype(jnp.float32)
     fit = (
         (jnp.min(cx, axis=0) >= x0f)
-        & (jnp.max(cx, axis=0) <= x0f + (tile_w - 2))
+        & (jnp.max(cx, axis=0) <= x0f + (cw - 2))
         & (jnp.min(cy, axis=0) >= y0f)
         & (jnp.max(cy, axis=0) <= y0f + (tile_h - 2))
     )
@@ -347,15 +404,20 @@ def sample_windows(
     lj = jnp.minimum(sarange // wsize, wsize - 1)[None, :]
     sxr = (
         tl[:, :1] + dx[:, :1] * li + dy[:, :1] * lj
-        - x0.astype(jnp.float32)[:, None]
+        - x0e.astype(jnp.float32)[:, None]
     )  # [B, spad]
     syr = (
         tl[:, 1:] + dx[:, 1:] * li + dy[:, 1:] * lj
         - y0.astype(jnp.float32)[:, None]
     )
-    # packed SMEM scalars (scalar memory is tiny — two arrays only)
+    # packed SMEM scalars (scalar memory is tiny — two arrays only):
+    # yx = y0/8 (13b) | x0a/128 (10b) | lane offset (8b)
     il = img.astype(jnp.int32) * n_levels + lvl.astype(jnp.int32)
-    yx = (y0.astype(jnp.int32) << 16) | x0.astype(jnp.int32)
+    yx = (
+        ((y0.astype(jnp.int32) // 8) << 18)
+        | ((x0a.astype(jnp.int32) // 128) << 8)
+        | off.astype(jnp.int32)
+    )
 
     # chunk the batch: scalar-prefetch operands resident in SMEM bound
     # the windows a single pallas_call may cover
@@ -396,7 +458,7 @@ def sample_windows(
         ],
     )
     call = pl.pallas_call(
-        _make_kernel(n_levels, wsize, rgb),
+        _make_kernel(n_levels, wsize, rgb, ablate),
         out_shape=jax.ShapeDtypeStruct((CH, nchan * spad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -56,15 +56,19 @@ def main():
     levels_rgb = jax.device_put(pk.rgb_levels_from_scene(scene))
     args = jax.device_put((idx, new_level, tl, dx2, dy2))
 
+    ablate = os.environ.get("ABLATE", "")
+
     @jax.jit
     def run_pallas(levels, idx, lvl, tl, dx, dy):
-        out, _fit = pk.sample_windows(levels, idx, lvl, tl, dx, dy)
+        out, _fit = pk.sample_windows(
+            levels, idx, lvl, tl, dx, dy, ablate=ablate
+        )
         return jnp.sum(out * out)  # tiny pull
 
     @jax.jit
     def run_pallas_rgb(levels, idx, lvl, tl, dx, dy):
         out, _fit = pk.sample_windows(
-            levels, idx, lvl, tl, dx, dy, rgb=True
+            levels, idx, lvl, tl, dx, dy, rgb=True, ablate=ablate
         )
         return jnp.sum(out * out)
 
@@ -92,7 +96,10 @@ def main():
             )
         return jnp.sum(tex * tex)
 
-    null = jax.jit(lambda c: c + 1.0)
+    # null round-trip must pull the SAME payload size as the timed fns
+    # (a scalar) — pulling a coord-shaped array inflates the measured
+    # latency by the transfer time and over-subtracts
+    null = jax.jit(lambda c: jnp.sum(c))
 
     def timed(fn, *a):
         t0 = time.time()
