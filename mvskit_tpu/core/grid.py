@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..geometry import camera as cam
@@ -326,18 +327,30 @@ def set_vimages(
     neighbor_threshold: float,
     use_depth: bool = True,
 ):
-    """Table-wide setVImagesVGrids."""
-    return visible_extra_views(
-        scene,
-        grid,
-        table,
-        table.coord,
-        table.normal,
-        table.images,
-        table.vimages,
-        table.alive,
-        level,
-        csize,
-        neighbor_threshold,
-        use_depth,
-    )
+    """Table-wide setVImagesVGrids, chunked over rows (the inner
+    per-view projection gathers [rows, n_views, 3, 4] matrices whose
+    (3, 4) minor dims pad to (8, 128) on TPU — 32x; at full production
+    capacity one unchunked temp is ~8.6 GB)."""
+    N = table.capacity
+    CH = min(8192, N)
+    nch = (N + CH - 1) // CH
+    rows = (jnp.arange(nch * CH, dtype=jnp.int32) % N).reshape(nch, CH)
+
+    def one(rs):
+        return visible_extra_views(
+            scene,
+            grid,
+            table,
+            table.coord[rs],
+            table.normal[rs],
+            table.images[rs],
+            table.vimages[rs],
+            table.alive[rs],
+            level,
+            csize,
+            neighbor_threshold,
+            use_depth,
+        )
+
+    out = jax.lax.map(one, rows)
+    return out.reshape(nch * CH, -1)[:N]

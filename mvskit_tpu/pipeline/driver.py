@@ -62,19 +62,54 @@ class PMMVS:
             ex.expand_round,
             static_argnames=("p", "depth", "use_depth"),
         )
-        self._filter_step = jax.jit(
+        # the filter suite runs as SEPARATE jitted phases: one fused
+        # program executes for minutes at production scale, which the
+        # remote TPU worker kills (CLAUDE.md hazard); per-phase
+        # dispatches stay short and give phase-level progress
+        self._f_rebuild = jax.jit(
             functools.partial(
-                fl.run_filters,
+                fl.rebuild,
+                level=cfg.level,
+                csize=cfg.csize,
+                capacity=cfg.filter_cell_capacity,
+                neighbor_threshold=cfg.neighbor_threshold,
+            ),
+            static_argnames=("additive",),
+        )
+        self._f_outside = jax.jit(
+            functools.partial(
+                fl.filter_outside,
+                level=cfg.level,
+                csize=cfg.csize,
+                neighbor_threshold1=cfg.neighbor_threshold1,
+            )
+        )
+        self._f_exact = jax.jit(
+            functools.partial(
+                fl.filter_exact,
                 level=cfg.level,
                 csize=cfg.csize,
                 wsize=cfg.wsize,
-                tau=cfg.tau,
                 min_image_num=cfg.min_image_num,
-                cell_capacity=cfg.filter_cell_capacity,
-                neighbor_threshold=cfg.neighbor_threshold,
                 neighbor_threshold1=cfg.neighbor_threshold1,
-                neighbor_threshold2=cfg.neighbor_threshold2,
                 angle_threshold1=cfg.angle_threshold1,
+            )
+        )
+        self._f_neighbor = jax.jit(
+            functools.partial(
+                fl.filter_neighbor,
+                level=cfg.level,
+                csize=cfg.csize,
+                tau=cfg.tau,
+                neighbor_threshold=cfg.neighbor_threshold,
+            )
+        )
+        self._f_groups = jax.jit(
+            functools.partial(
+                fl.filter_small_groups,
+                level=cfg.level,
+                csize=cfg.csize,
+                neighbor_threshold2=cfg.neighbor_threshold2,
             )
         )
 
@@ -183,12 +218,23 @@ class PMMVS:
         return total
 
     def filter(self) -> fl.FilterStats:
-        self.table, stats = self._filter_step(
-            self.scene,
-            self.table,
-            ncc_threshold=jnp.float32(self.ncc_threshold),
-            quad_threshold=jnp.float32(self.cfg.quad_threshold),
-        )
+        # Filter::run (reference filter.cpp:25-49) as separate short
+        # device programs: rebuild -> outside -> rebuild -> exact ->
+        # rebuild -> neighbor -> rebuild -> groups -> rebuild
+        ncc_thr = jnp.float32(self.ncc_threshold)
+        quad_thr = jnp.float32(self.cfg.quad_threshold)
+        t = self.table
+        t, grid = self._f_rebuild(self.scene, t, additive=False)
+        t, n_out = self._f_outside(self.scene, grid, t, ncc_threshold=ncc_thr)
+        t, grid = self._f_rebuild(self.scene, t, additive=True)
+        t, n_exact = self._f_exact(self.scene, grid, t)
+        t, grid = self._f_rebuild(self.scene, t, additive=True)
+        t, n_nb = self._f_neighbor(self.scene, grid, t, quad_threshold=quad_thr)
+        t, grid = self._f_rebuild(self.scene, t, additive=True)
+        t, n_grp = self._f_groups(self.scene, grid, t)
+        t, _ = self._f_rebuild(self.scene, t, additive=True)
+        self.table = t
+        stats = fl.FilterStats(n_out, n_exact, n_nb, n_grp)
         o, e, n, g = (int(np.asarray(v)) for v in stats)
         self.log(
             f"filters removed: outside {o} exact {e} neighbor {n} "

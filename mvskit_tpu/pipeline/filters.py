@@ -205,16 +205,29 @@ def compute_gains(
     csize: int,
     ncc_threshold,
     neighbor_threshold1,
+    chunk: int = 1024,
 ) -> jnp.ndarray:
-    """Filter::computeGain for every table row (filter.cpp:108-146)."""
+    """Filter::computeGain for every table row (filter.cpp:108-146).
+
+    Chunked over rows: gain_batch gathers [B, n_views, S, 4] pressed
+    coordinates whose trailing 4 pads to 128 lanes on TPU — unchunked
+    at production capacity (2^18 rows x 16 views x 16 slots) that
+    single temp is 32 GB."""
     N = table.capacity
-    return gain_batch(
-        scene, grid, table,
-        table.coord, table.normal, table.dscale, table.ncc,
-        table.images, table.vimages,
-        jnp.arange(N, dtype=jnp.int32),
-        level, csize, ncc_threshold, neighbor_threshold1,
-    )
+    C = min(chunk, N)
+    nch = (N + C - 1) // C
+    rows = jnp.arange(nch * C, dtype=jnp.int32).reshape(nch, C)
+
+    def one(rs):
+        rs = jnp.minimum(rs, N - 1)
+        return gain_batch(
+            scene, grid, table,
+            table.coord[rs], table.normal[rs], table.dscale[rs],
+            table.ncc[rs], table.images[rs], table.vimages[rs],
+            rs, level, csize, ncc_threshold, neighbor_threshold1,
+        )
+
+    return lax.map(one, rows).reshape(-1)[:N]
 
 
 def filter_outside(
@@ -255,26 +268,47 @@ def filter_exact(
     cell; patches under minImageNum die. Survivors re-pick their
     reference view (setRefImage)."""
     N, M = table.images.shape
-    cx, cy, valid = _cell_coords(scene, table.coord, table.images, level, csize)
-
-    def vis_at(dx, dy):
-        return gridmod.is_visible(
-            scene, grid, table,
-            table.coord[:, None, :], table.normal[:, None, :],
-            jnp.maximum(table.images, 0), cx + dx, cy + dy,
-            neighbor_threshold1, level, csize, use_depth,
-        )
-
-    safe = vis_at(0, 0) | vis_at(-1, 0) | vis_at(1, 0) | vis_at(0, -1) | vis_at(0, 1)
-    keep = valid & safe
-
-    new_images = vw.compact_list(table.images, keep)
-    enough = count_valid(new_images) >= min_image_num
-    new_images = vw.set_ref_image(
-        scene, table.coord, table.normal, new_images, level, wsize,
-        angle_threshold1,
+    # chunked over rows: the visibility and setRefImage inner arrays
+    # ([rows, M, 3, 4] projections, [rows, M, M] pairwise INCCs, window
+    # textures) are multi-GB at full production capacity
+    CH = min(8192, N)
+    nch = (N + CH - 1) // CH
+    rows_all = (jnp.arange(nch * CH, dtype=jnp.int32) % N).reshape(
+        nch, CH
     )
-    new_images = jnp.where(enough[:, None], new_images, -1)
+
+    def one(rs):
+        coord = table.coord[rs]
+        normal = table.normal[rs]
+        images = table.images[rs]
+        cx, cy, valid = _cell_coords(scene, coord, images, level, csize)
+
+        def vis_at(dx, dy):
+            return gridmod.is_visible(
+                scene, grid, table,
+                coord[:, None, :], normal[:, None, :],
+                jnp.maximum(images, 0), cx + dx, cy + dy,
+                neighbor_threshold1, level, csize, use_depth,
+            )
+
+        safe = (
+            vis_at(0, 0) | vis_at(-1, 0) | vis_at(1, 0)
+            | vis_at(0, -1) | vis_at(0, 1)
+        )
+        keep = valid & safe
+
+        new_images = vw.compact_list(images, keep)
+        enough = count_valid(new_images) >= min_image_num
+        new_images = vw.set_ref_image(
+            scene, coord, normal, new_images, level, wsize,
+            angle_threshold1,
+        )
+        new_images = jnp.where(enough[:, None], new_images, -1)
+        return new_images, enough
+
+    new_images, enough = lax.map(one, rows_all)
+    new_images = new_images.reshape(nch * CH, M)[:N]
+    enough = enough.reshape(-1)[:N]
     killed = table.alive & ~enough
     return (
         table._replace(
@@ -557,22 +591,36 @@ def filter_small_groups(
 
     cidx = jnp.maximum(cand, 0)
     me = jnp.arange(N, dtype=jnp.int32)
-    hunit = (
-        (
-            _ref_unit(scene, table, me, level)[:, None]
-            + _ref_unit(scene, table, cidx, level)
-        )
-        / 2.0
-        * csize
+    ref_unit_all = _ref_unit(scene, table, me, level)  # [N]
+
+    # edge construction gathers [rows, Kc, 4] neighbor coordinates
+    # whose trailing 4 pads to 128 lanes on TPU — unchunked at 2^18
+    # rows x 288 candidates that is a 38 GB temp. Chunk over rows.
+    Kc = cand.shape[1]
+    CH = min(2048, N)
+    nch = (N + CH - 1) // CH
+    rows_all = (jnp.arange(nch * CH, dtype=jnp.int32) % N).reshape(
+        nch, CH
     )
-    edge = (
-        (cand >= 0)
-        & table.alive[cidx]
-        & table.alive[:, None]
-        & is_neighbor_pairs(
-            scene, table, me[:, None], cidx, hunit, neighbor_threshold2
+
+    def edge_of(rs):
+        cidx_c = cidx[rs]
+        hunit_c = (
+            (ref_unit_all[rs][:, None] + ref_unit_all[cidx_c])
+            / 2.0
+            * csize
         )
-    )
+        return (
+            (cand[rs] >= 0)
+            & table.alive[cidx_c]
+            & table.alive[rs][:, None]
+            & is_neighbor_pairs(
+                scene, table, rs[:, None], cidx_c, hunit_c,
+                neighbor_threshold2,
+            )
+        )
+
+    edge = lax.map(edge_of, rows_all).reshape(nch * CH, Kc)[:N]
 
     label = jnp.where(table.alive, me, N)
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,22 +74,34 @@ def finalize_seeds(
         ncc=ncc, dscale=dscale, ascale=ascale,
     )
     n = coord.shape[0]
-    rows = slice(0, n)
-    c = table.coord[rows]
-    nm = table.normal[rows]
-    im = table.images[rows]
-    if dscale is None or ascale is None:
-        ds, asc = vw.set_scales(scene, c, im, cfg.level, cfg.tau, cfg.wsize)
-        table = table._replace(
-            dscale=table.dscale.at[rows].set(ds),
-            ascale=table.ascale.at[rows].set(asc),
-        )
-    if ncc is None:
-        scores = nccops.compute_patch_ncc(
-            scene, im, c, nm, cfg.level, cfg.wsize, cfg.tau,
-            cfg.angle_threshold1,
-        )
-        table = table._replace(ncc=table.ncc.at[rows].set(scores))
+    need_scales = dscale is None or ascale is None
+    need_ncc = ncc is None
+    if need_scales or need_ncc:
+        # one jitted program for the device work — eager execution on
+        # the remote TPU backend pays a ~0.5 s round trip per op
+        def _fill(scene, table):
+            rows = slice(0, n)
+            c = table.coord[rows]
+            nm = table.normal[rows]
+            im = table.images[rows]
+            if need_scales:
+                ds, asc = vw.set_scales(
+                    scene, c, im, cfg.level, cfg.tau, cfg.wsize
+                )
+                table = table._replace(
+                    dscale=table.dscale.at[rows].set(ds),
+                    ascale=table.ascale.at[rows].set(asc),
+                )
+            if need_ncc:
+                scores = nccops.compute_patch_ncc(
+                    scene, im, c, nm, cfg.level, cfg.wsize, cfg.tau,
+                    cfg.angle_threshold1,
+                )
+                table = table._replace(ncc=table.ncc.at[rows].set(scores))
+            alive = table.alive & (pt.count_valid(table.images) > 0)
+            return table._replace(alive=alive)
+
+        return jax.jit(_fill)(scene, table)
     # patches that lost every view die immediately
     alive = table.alive & (pt.count_valid(table.images) > 0)
     return table._replace(alive=alive)
@@ -133,6 +146,9 @@ def seed_from_plys(scene: Scene, cfg: MVSConfig, prefix: str) -> pt.PatchTable:
 
     # per-view pixel-indexed world-frame normal maps
     w0, h0 = scene.width(0), scene.height(0)
+    # one device->host camera fetch for all views (a per-view pull
+    # costs a ~0.5 s round trip each on the remote TPU backend)
+    P_host = np.asarray(scene.cams.P, dtype=np.float64)
     nmaps = np.zeros((scene.n_images, h0, w0, 3), dtype=np.float32)
     have_map = np.zeros(scene.n_images, dtype=bool)
     for i in range(scene.n_images):
@@ -142,7 +158,7 @@ def seed_from_plys(scene: Scene, cfg: MVSConfig, prefix: str) -> pt.PatchTable:
         d = ply.read_ply(p)
         if "normal" not in d:
             continue
-        R = rotation_of_view(scene, i)
+        _, R = rq_decompose(P_host[i][:, :3])
         world = d["normal"] @ R.T  # reference: R * normal3
         x = d["xyz"][:, 0].astype(np.int64)
         y = d["xyz"][:, 1].astype(np.int64)
@@ -151,8 +167,7 @@ def seed_from_plys(scene: Scene, cfg: MVSConfig, prefix: str) -> pt.PatchTable:
         have_map[i] = True
 
     # project every seed into every view at level 0 (host numpy)
-    P = np.asarray(scene.cams.P, dtype=np.float64)
-    ic = np.einsum("nij,sj->nsi", P, coord.astype(np.float64))
+    ic = np.einsum("nij,sj->nsi", P_host, coord.astype(np.float64))
     z = ic[:, :, 2]
     with np.errstate(divide="ignore", invalid="ignore"):
         x = np.floor(ic[:, :, 0] / z + 0.5).astype(np.int64)
@@ -195,14 +210,17 @@ def seed_from_plys(scene: Scene, cfg: MVSConfig, prefix: str) -> pt.PatchTable:
     images = patch_io.lists_to_padded(imglists, scene.n_images)
 
     # free-choice reference view ordering (sortImages isFixed=0,
-    # depth_normal_init.cpp:78)
-    images_j = vw.sort_images(
+    # depth_normal_init.cpp:78) — jitted: eager execution on the
+    # remote TPU backend pays a round trip per op
+    images_j = jax.jit(
+        lambda s, c, n, im: vw.sort_images(
+            s, c, n, im, cfg.level, is_fixed=False
+        )
+    )(
         scene,
         jnp.asarray(coord_a),
         jnp.asarray(normal_a),
         jnp.asarray(images),
-        cfg.level,
-        is_fixed=False,
     )
     return finalize_seeds(
         scene, cfg, coord_a, normal_a, np.asarray(images_j)
