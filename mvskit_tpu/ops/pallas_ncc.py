@@ -226,31 +226,28 @@ def _make_kernel(
             # dynamic-lane stores, so one window = one output row)
             sx = sx_ref[pl.ds(j, 1), :]  # [1, spad]
             sy = sy_ref[pl.ds(j, 1), :]
-
-            ix = jnp.clip(sx.astype(jnp.int32), 0, cw - 2)
-            iy = jnp.clip(sy.astype(jnp.int32), 0, tile_h - 2)
-            fx = jnp.clip(sx - ix.astype(jnp.float32), 0.0, 1.0)
-            fy = jnp.clip(sy - iy.astype(jnp.float32), 0.0, 1.0)
+            # clip reproduces the reference sampler's edge clamp
+            # (ix = min(ix, w-2), fx = clip(frac)) in tent form
+            sx = jnp.clip(sx, 0.0, float(cw - 1))
+            sy = jnp.clip(sy, 0.0, float(tile_h - 1))
             if ablate == "nowx":
-                # constant weights (hoisted): measures the chain minus
-                # the per-window weight construction
-                ix = jnp.zeros_like(ix)
-                iy = jnp.zeros_like(iy)
-                fx = jnp.zeros_like(fx)
-                fy = jnp.zeros_like(fy)
+                sx = jnp.zeros_like(sx)
+                sy = jnp.zeros_like(sy)
 
-            # bilinear weights factorize: w[s,(r,c)] = wy[r,s]*wx[c,s].
-            # One [tile_h,cw]x[cw,spad] matmul gathers columns; a
-            # wy-weighted sublane reduction finishes the sample —
-            # far fewer weight ops than a flat one-hot over the tile.
-            cidx = jax.lax.broadcasted_iota(jnp.int32, (cw, spad), 0)
-            wx = jnp.where(cidx == ix, 1.0 - fx, 0.0) + jnp.where(
-                cidx == ix + 1, fx, 0.0
-            )  # [cw, spad]
-            ridx = jax.lax.broadcasted_iota(jnp.int32, (tile_h, spad), 0)
-            wy = jnp.where(ridx == iy, 1.0 - fy, 0.0) + jnp.where(
-                ridx == iy + 1, fy, 0.0
-            )  # [tile_h, spad]
+            # bilinear weights factorize: w[s,(r,c)] = wy[r,s]*wx[c,s],
+            # and each factor is a TENT: relu(1 - |c - sx|) equals the
+            # two-tap interpolation weights in 3 ops with no int
+            # index/frac split. One [tile_h,cw]x[cw,spad] matmul
+            # gathers columns; a wy-weighted sublane reduction
+            # finishes the sample.
+            cidx = jax.lax.broadcasted_iota(
+                jnp.float32, (cw, spad), 0
+            )
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(cidx - sx))
+            ridx = jax.lax.broadcasted_iota(
+                jnp.float32, (tile_h, spad), 0
+            )
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ridx - sy))
 
             if rgb:
                 # unpack r|g<<8|b<<16 (the DMA moved the same bytes as

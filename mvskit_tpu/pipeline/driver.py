@@ -97,12 +97,13 @@ class PMMVS:
         )
         self._f_neighbor = jax.jit(
             functools.partial(
-                fl.filter_neighbor,
+                fl.filter_neighbor_rows,
                 level=cfg.level,
                 csize=cfg.csize,
                 tau=cfg.tau,
                 neighbor_threshold=cfg.neighbor_threshold,
-            )
+            ),
+            static_argnames=("row_count",),
         )
         self._f_groups = jax.jit(
             functools.partial(
@@ -110,6 +111,15 @@ class PMMVS:
                 level=cfg.level,
                 csize=cfg.csize,
                 neighbor_threshold2=cfg.neighbor_threshold2,
+            )
+        )
+        self._hwm = jax.jit(
+            lambda alive: jnp.max(
+                jnp.where(
+                    alive,
+                    jnp.arange(alive.shape[0], dtype=jnp.int32),
+                    -1,
+                )
             )
         )
 
@@ -224,18 +234,49 @@ class PMMVS:
         ncc_thr = jnp.float32(self.ncc_threshold)
         quad_thr = jnp.float32(self.cfg.quad_threshold)
         t = self.table
+
+        def sync(x, what):
+            # serialize phases: pulling the count to host forces the
+            # phase to finish before the next enqueues (rapid
+            # multi-enqueue of large programs can wedge the remote
+            # worker) and gives phase-level progress
+            v = int(np.asarray(x))
+            self.log(f"  filter phase {what}: {v}")
+            return v
+
         t, grid = self._f_rebuild(self.scene, t, additive=False)
         t, n_out = self._f_outside(self.scene, grid, t, ncc_threshold=ncc_thr)
+        o = sync(n_out, "outside")
         t, grid = self._f_rebuild(self.scene, t, additive=True)
         t, n_exact = self._f_exact(self.scene, grid, t)
+        e = sync(n_exact, "exact")
         t, grid = self._f_rebuild(self.scene, t, additive=True)
-        t, n_nb = self._f_neighbor(self.scene, grid, t, quad_threshold=quad_thr)
+        # neighbor filter in row segments — one program over all rows
+        # runs long enough to crash the remote worker. Every segment
+        # sees the ROUND-START table (reference filterNeighbor removes
+        # at the end of the pass); alive masks merge afterwards. Rows
+        # past the live high-water mark are dead by construction, so
+        # their segments are skipped entirely.
+        N = t.capacity
+        seg = min(32768, N)
+        hwm = int(np.asarray(self._hwm(t.alive)))
+        n = 0
+        merged = t.alive
+        for off in range(0, min(hwm + 1, N), seg):
+            t_seg, nk = self._f_neighbor(
+                self.scene, grid, t, jnp.int32(off), row_count=seg,
+                quad_threshold=quad_thr,
+            )
+            n += sync(nk, f"neighbor[{off}:{off + seg}]")
+            merged = merged & t_seg.alive
+        t = t._replace(alive=merged)
+        n_nb = jnp.int32(n)
         t, grid = self._f_rebuild(self.scene, t, additive=True)
         t, n_grp = self._f_groups(self.scene, grid, t)
+        g = sync(n_grp, "groups")
         t, _ = self._f_rebuild(self.scene, t, additive=True)
         self.table = t
         stats = fl.FilterStats(n_out, n_exact, n_nb, n_grp)
-        o, e, n, g = (int(np.asarray(v)) for v in stats)
         self.log(
             f"filters removed: outside {o} exact {e} neighbor {n} "
             f"groups {g}; alive {int(np.asarray(self.table.n_alive()))}"

@@ -518,6 +518,47 @@ def quad_residuals_batch(
     return total / jnp.maximum(denom, 1), denom
 
 
+def filter_neighbor_rows(
+    scene: Scene,
+    grid: gridmod.GridState,
+    table: PatchTable,
+    row_offset,
+    row_count: int,
+    level: int,
+    csize: int,
+    tau: int,
+    quad_threshold,
+    neighbor_threshold,
+    max_neighbors: int = 48,
+    chunk: int = 1024,
+) -> Tuple[PatchTable, jnp.ndarray]:
+    """filterNeighbor over rows [row_offset, row_offset+row_count) —
+    the driver dispatches the table in segments because one program
+    covering all rows runs long enough to crash the remote worker."""
+    N = table.capacity
+    n_chunks = (row_count + chunk - 1) // chunk
+    rows_all = (
+        row_offset + jnp.arange(n_chunks * chunk, dtype=jnp.int32)
+    ) % N
+    rows_all = rows_all.reshape(n_chunks, chunk)
+
+    def one(rows):
+        nbrs, count = gather_neighbors(
+            scene, grid, table, rows, level, csize,
+            margin=2, scale=4.0, neighbor_threshold=neighbor_threshold,
+            max_neighbors=max_neighbors,
+        )
+        resid, denom = quad_residuals(scene, table, rows, nbrs, level, tau)
+        reject = (count < 6) | ((denom >= 1) & (resid >= quad_threshold))
+        return reject
+
+    rejects = lax.map(one, rows_all).reshape(-1)[:row_count]
+    rows = (row_offset + jnp.arange(row_count, dtype=jnp.int32)) % N
+    kill = table.alive[rows] & rejects
+    alive = table.alive.at[rows].set(table.alive[rows] & ~rejects)
+    return table._replace(alive=alive), jnp.sum(kill)
+
+
 def filter_neighbor(
     scene: Scene,
     grid: gridmod.GridState,
@@ -532,24 +573,11 @@ def filter_neighbor(
 ) -> Tuple[PatchTable, jnp.ndarray]:
     """filterNeighbor (filter.cpp:265-327): fewer than 6 scene-space
     neighbors, or a too-large quadric residual, kills the patch."""
-    N = table.capacity
-    n_chunks = (N + chunk - 1) // chunk
-    rows_all = jnp.arange(n_chunks * chunk, dtype=jnp.int32) % N
-    rows_all = rows_all.reshape(n_chunks, chunk)
-
-    def one(rows):
-        nbrs, count = gather_neighbors(
-            scene, grid, table, rows, level, csize,
-            margin=2, scale=4.0, neighbor_threshold=neighbor_threshold,
-            max_neighbors=max_neighbors,
-        )
-        resid, denom = quad_residuals(scene, table, rows, nbrs, level, tau)
-        reject = (count < 6) | ((denom >= 1) & (resid >= quad_threshold))
-        return reject
-
-    rejects = lax.map(one, rows_all).reshape(-1)[:N]
-    kill = table.alive & rejects
-    return table._replace(alive=table.alive & ~kill), jnp.sum(kill)
+    return filter_neighbor_rows(
+        scene, grid, table, jnp.int32(0), table.capacity,
+        level, csize, tau, quad_threshold, neighbor_threshold,
+        max_neighbors, chunk,
+    )
 
 
 # ----------------------------------------------------------------------
