@@ -240,13 +240,17 @@ def _make_kernel(
             # index/frac split. One [tile_h,cw]x[cw,spad] matmul
             # gathers columns; a wy-weighted sublane reduction
             # finishes the sample.
+            # NOTE: Mosaic's tpu.iota only supports integer result
+            # types — build the iota in int32 and cast (a f32 iota
+            # fails kernel verification on real TPUs; interpret-mode
+            # tests cannot catch this).
             cidx = jax.lax.broadcasted_iota(
-                jnp.float32, (cw, spad), 0
-            )
+                jnp.int32, (cw, spad), 0
+            ).astype(jnp.float32)
             wx = jnp.maximum(0.0, 1.0 - jnp.abs(cidx - sx))
             ridx = jax.lax.broadcasted_iota(
-                jnp.float32, (tile_h, spad), 0
-            )
+                jnp.int32, (tile_h, spad), 0
+            ).astype(jnp.float32)
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(ridx - sy))
 
             if rgb:
