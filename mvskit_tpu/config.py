@@ -55,7 +55,8 @@ class MVSConfig:
 
     # ---- refinement (reference optim.cpp:480-547) ----
     ascale: float = math.pi / 48.0           # angle encoding scale
-    angle_bound: float = 23.99999            # bounds on encoded angles
+    # (the +-23.99999 encoded-angle bound of optim.cpp:496-497 is the
+    # fixed ANGLE_BOUND constant in pipeline/refine.py, not a knob)
     refine_rounds: int = 24                  # TPU random-search: rounds
     refine_cands: int = 8                    # candidates per round
     refine_shrink: float = 0.8               # radius decay per round
@@ -80,9 +81,10 @@ class MVSConfig:
     cell_capacity: Optional[int] = None      # slots per cell; default 2*csize^2
     filter_cell_capacity: int = 16           # larger cap used by filter passes
     max_patches: int = 1 << 18               # flat patch-table capacity
-    neighbor_capacity: int = 32              # max neighbors gathered per patch
-    small_group_iters: int = 64              # label-propagation iterations
-    dtype: str = "float32"
+    neighbor_capacity: int = 48              # max neighbors gathered per patch
+                                             # (findNeighbors cap; DIVERGENCES A7)
+    small_group_iters: int = 32              # label-propagation iterations
+                                             # (filterSmallGroups pointer-jumping)
 
     # ------------------------------------------------------------------
     # derived quantities

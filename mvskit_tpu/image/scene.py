@@ -11,12 +11,12 @@ becomes plain index arithmetic:
 which is what lets the dynamic level selection of the texture fetch
 (reference optim.cpp:806-811) live inside one jitted kernel.
 
-Pyramid construction matches the reference bit-for-bit on the interior:
-[1 3 3 1] x [1 3 3 1] separable kernel, stride 2, contributions from the
-last row/column of the parent level dropped (reference
-image.cpp:268-277 skips `h-1 < ytmp`), per-level re-quantization to
-uint8 via floor(c + 0.5) (image.cpp:308-310). Masks use the OR-dilating
-2x2 pyramid (image.cpp:717-747).
+Pyramid construction matches the reference bit-for-bit (golden-parity
+oracle in tests/test_golden_parity.py): [1 3 3 1] x [1 3 3 1] separable
+kernel, stride 2, out-of-bounds taps skipped without renormalization
+(reference image.cpp:268-277), per-level re-quantization to uint8 via
+floor(c + 0.5) (image.cpp:308-310). Masks use the OR-dilating 2x2
+pyramid (image.cpp:717-747).
 """
 
 from __future__ import annotations
@@ -59,10 +59,11 @@ def downsample_once(img: np.ndarray, filter: int = 0) -> np.ndarray:
     Returns the unquantized float result (caller re-quantizes)."""
     h, w = img.shape[:2]
     ho, wo = h // 2, w // 2
+    # reference image.cpp:268-277: taps outside [0, h-1] x [0, w-1] are
+    # skipped with no weight renormalization; the last parent row/col
+    # (ytmp == h-1) DOES contribute (the guard is `h - 1 < ytmp`).
+    # Zero/255 padding reproduces the skip exactly.
     src = np.array(img, dtype=np.float32)
-    # reference image.cpp:270/276: parent row/col h-1, w-1 never contribute
-    src[h - 1, :] = 0.0
-    src[:, w - 1] = 0.0
     fill = 0.0 if filter != 2 else 255.0
     pad = np.full((h + 3, w + 3) + img.shape[2:], fill, dtype=np.float32)
     pad[1 : 1 + h, 1 : 1 + w] = src
@@ -163,6 +164,14 @@ class Scene:
     heights: Tuple[int, ...] = dataclasses.field(default=())
     offsets: Tuple[int, ...] = dataclasses.field(default=())
     max_level: int = 0
+    # view-sharding marker (parallel/shard.enable_view_sharding): when
+    # set, every texture fetch in ops/ncc.texs_for_views runs under
+    # shard_map with the plane arrays sharded over this mesh axis and
+    # the cross-view windows combined by psum (the TP analog; SURVEY.md
+    # §2). The mesh is static metadata — it participates in jit cache
+    # keys, not in tracing.
+    view_mesh: Optional[object] = None
+    view_axis: str = "view"
 
     def tree_flatten(self):
         children = (
@@ -178,7 +187,10 @@ class Scene:
             self.planes_rgb_levels,
             self.covis,
         )
-        aux = (self.widths, self.heights, self.offsets, self.max_level)
+        aux = (
+            self.widths, self.heights, self.offsets, self.max_level,
+            self.view_mesh, self.view_axis,
+        )
         return children, aux
 
     @classmethod

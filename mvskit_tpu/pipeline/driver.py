@@ -102,6 +102,7 @@ class PMMVS:
                 csize=cfg.csize,
                 tau=cfg.tau,
                 neighbor_threshold=cfg.neighbor_threshold,
+                max_neighbors=cfg.neighbor_capacity,
             ),
             static_argnames=("row_count",),
         )
@@ -111,6 +112,7 @@ class PMMVS:
                 level=cfg.level,
                 csize=cfg.csize,
                 neighbor_threshold2=cfg.neighbor_threshold2,
+                iters=cfg.small_group_iters,
             )
         )
         self._hwm = jax.jit(
@@ -151,6 +153,7 @@ class PMMVS:
             grad_steps=cfg.refine_grad_steps,
             grad_lr=cfg.refine_grad_lr,
             luma_refine=cfg.luma_refine,
+            neighbor_capacity=cfg.neighbor_capacity,
         )
 
     def _next_key(self):

@@ -59,6 +59,7 @@ def find_empty_sectors(
     level: int,
     csize: int,
     neighbor_threshold: float,
+    max_neighbors: int = 64,
 ):
     """findEmptyBlocks (reference propagate.cpp:414-472): per donor,
     project its neighbors into the tangent-plane frame, accumulate
@@ -77,7 +78,7 @@ def find_empty_sectors(
     nbrs, _ = fl.gather_neighbors_batch(
         scene, grid, table, coord, normal, dscale, images, donor_rows,
         level, csize, margin=1, scale=4.0,
-        neighbor_threshold=neighbor_threshold, max_neighbors=64,
+        neighbor_threshold=neighbor_threshold, max_neighbors=max_neighbors,
     )
     nok = nbrs >= 0
     diff = table.coord[jnp.maximum(nbrs, 0)] - coord[:, None, :]
@@ -201,7 +202,7 @@ def expand_round(
 
     cand, empty = find_empty_sectors(
         scene, grid, table, donor_rows, p.level, p.csize,
-        p.neighbor_threshold,
+        p.neighbor_threshold, max_neighbors=max(p.neighbor_capacity, 64),
     )
 
     H = budget * N_SECTORS

@@ -136,7 +136,61 @@ def seed_from_patch_file(
     )
 
 
-def seed_from_plys(scene: Scene, cfg: MVSConfig, prefix: str) -> pt.PatchTable:
+def _seed_chunk(
+    coord: np.ndarray,
+    P_host: np.ndarray,
+    nmaps: np.ndarray,
+    have_map: np.ndarray,
+    masks0,
+    w0: int,
+    h0: int,
+    n_images: int,
+):
+    """Vectorized per-seed work for one chunk (depth_normal_init.cpp:
+    36-94): project into every view, gate by bounds/mask, average the
+    per-view world normals, keep seeds with >=2 views and a nonzero
+    normal. Returns (coord, normal, images_padded) for the survivors."""
+    # project every seed into every view at level 0 (host numpy)
+    ic = np.einsum("nij,sj->nsi", P_host, coord.astype(np.float64))
+    z = ic[:, :, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x = np.floor(ic[:, :, 0] / z + 0.5).astype(np.int64)
+        y = np.floor(ic[:, :, 1] / z + 0.5).astype(np.int64)
+    inb = (z > 0) & (x >= 0) & (x < w0) & (y >= 0) & (y < h0)
+    xs = np.clip(x, 0, w0 - 1)
+    ys = np.clip(y, 0, h0 - 1)
+    if masks0 is not None:
+        mask_ok = masks0[np.arange(n_images)[:, None], ys, xs] > 0
+        inb &= mask_ok
+    # reference requires getMask > 0, which can never pass without
+    # masks; treating no-mask as pass instead (DIVERGENCES.md)
+
+    # averaged world normal over mask-passing views that carry a map
+    contrib = nmaps[np.arange(n_images)[:, None], ys, xs]  # [n, S, 3]
+    w = (inb & have_map[:, None])[..., None]
+    nsum = np.sum(np.where(w, contrib, 0.0), axis=0)       # [S, 3]
+    nview = inb.sum(axis=0)
+    nrm = np.linalg.norm(nsum, axis=1)
+    keep = (nview >= 2) & (nrm > 0)
+    if not keep.any():
+        return None
+    n3 = nsum[keep] / nrm[keep][:, None]
+    ckeep = coord[keep]
+    normal = np.concatenate(
+        [n3, -np.sum(ckeep[:, :3] * n3, axis=1, keepdims=True)], axis=1
+    ).astype(np.float32)
+    # padded ascending view lists without a per-seed loop
+    inbk = inb[:, keep].T  # [K, n_images]
+    slot = np.cumsum(inbk, axis=1) - 1
+    images = np.full((inbk.shape[0], n_images), -1, np.int32)
+    rows, cols = np.nonzero(inbk)
+    images[rows, slot[rows, cols]] = cols
+    return ckeep, normal, images
+
+
+def seed_from_plys(
+    scene: Scene, cfg: MVSConfig, prefix: str, chunk: int = 1 << 18
+) -> pt.PatchTable:
     seed_path = os.path.join(prefix, "ply", "00000000.ply")
     pts = ply.read_ply(seed_path)["xyz"]
     n_seeds = pts.shape[0]
@@ -166,48 +220,29 @@ def seed_from_plys(scene: Scene, cfg: MVSConfig, prefix: str) -> pt.PatchTable:
         nmaps[i, y[ok], x[ok]] = world[ok]
         have_map[i] = True
 
-    # project every seed into every view at level 0 (host numpy)
-    ic = np.einsum("nij,sj->nsi", P_host, coord.astype(np.float64))
-    z = ic[:, :, 2]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        x = np.floor(ic[:, :, 0] / z + 0.5).astype(np.int64)
-        y = np.floor(ic[:, :, 1] / z + 0.5).astype(np.int64)
-    inb = (z > 0) & (x >= 0) & (x < w0) & (y >= 0) & (y < h0)
-
+    masks0 = None
     if scene.masks is not None:
         masks0 = np.asarray(
             scene.masks[:, : w0 * h0]
         ).reshape(scene.n_images, h0, w0)
-        xs = np.clip(x, 0, w0 - 1)
-        ys = np.clip(y, 0, h0 - 1)
-        mask_ok = masks0[np.arange(scene.n_images)[:, None], ys, xs] > 0
-        inb &= mask_ok
-    # reference requires getMask > 0, which can never pass without
-    # masks; treating no-mask as pass instead (DIVERGENCES.md)
 
-    coords, normals, imglists = [], [], []
-    for s in range(n_seeds):
-        views = np.nonzero(inb[:, s])[0]
-        if len(views) < 2:
-            continue
-        nsum = np.zeros(3)
-        for v in views:
-            if have_map[v]:
-                nsum += nmaps[v, y[v, s], x[v, s]]
-        nrm = np.linalg.norm(nsum)
-        if nrm == 0.0:
-            continue
-        n3 = nsum / len(views)
-        n3 /= np.linalg.norm(n3)
-        coords.append(coord[s])
-        normals.append([n3[0], n3[1], n3[2], -float(coord[s, :3] @ n3)])
-        imglists.append(list(views))
+    # chunk the seed axis: real seed clouds run to millions of points
+    # and the [n_images, S, 3] projection intermediates must stay
+    # bounded in host memory; each chunk is fully vectorized
+    parts = []
+    for off in range(0, n_seeds, chunk):
+        r = _seed_chunk(
+            coord[off : off + chunk], P_host, nmaps, have_map,
+            masks0, w0, h0, scene.n_images,
+        )
+        if r is not None:
+            parts.append(r)
 
-    if not coords:
+    if not parts:
         raise ValueError(f"no seeds with >=2 visible views in {seed_path}")
-    coord_a = np.asarray(coords, np.float32)
-    normal_a = np.asarray(normals, np.float32)
-    images = patch_io.lists_to_padded(imglists, scene.n_images)
+    coord_a = np.concatenate([p[0] for p in parts]).astype(np.float32)
+    normal_a = np.concatenate([p[1] for p in parts]).astype(np.float32)
+    images = np.concatenate([p[2] for p in parts])
 
     # free-choice reference view ordering (sortImages isFixed=0,
     # depth_normal_init.cpp:78) — jitted: eager execution on the

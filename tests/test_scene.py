@@ -22,11 +22,13 @@ def _reference_downsample(img):
             c = np.zeros(3)
             for i in range(-1, 3):
                 yt = 2 * y + i
-                if yt < 0 or yt > h - 2:
+                # image.cpp:270 skips only `h - 1 < ytmp`: the last
+                # parent row/col contributes
+                if yt < 0 or yt > h - 1:
                     continue
                 for j in range(-1, 3):
                     xt = 2 * x + j
-                    if xt < 0 or xt > w - 2:
+                    if xt < 0 or xt > w - 1:
                         continue
                     c += K[i + 1, j + 1] * img[yt, xt]
             out[y, x] = c
