@@ -85,19 +85,33 @@ def _fill_slots(
     level: int,
     csize: int,
     capacity: int,
+    row_start=0,
+    row_count: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Segmented per-cell top-K by NCC over (patch, list-entry) pairs.
 
-    Returns (slots[n, gh, gw, capacity], evicted[N])."""
+    `row_start`/`row_count` restrict the build to a window of cell rows
+    (the map-block tile of one shard, SURVEY.md §7.7): pairs landing
+    outside the window are dropped and the returned slots cover only
+    the window's rows. Because cells are disjoint and the two-key sort
+    is stable, the per-cell content is identical to the corresponding
+    rows of a full build. row_start may be a traced scalar (it only
+    enters key arithmetic); row_count must be static.
+
+    Returns (slots[n, row_count, gw, capacity], evicted[N])."""
     n = scene.n_images
     gw, gh = grid_dims(scene, level, csize)
+    if row_count is None:
+        row_count = gh
     N, M = lists.shape
 
     cx, cy, valid = patch_cells(scene, table.coord, lists, level, csize)
     valid = valid & table.alive[:, None]
+    cy = cy - row_start
+    valid = valid & (cy >= 0) & (cy < row_count)
     img = jnp.maximum(lists, 0)
-    key = (img * gh + cy) * gw + cx
-    nkeys = n * gh * gw
+    key = (img * row_count + cy) * gw + cx
+    nkeys = n * row_count * gw
     key = jnp.where(valid, key, nkeys)  # invalid -> sentinel bucket
 
     flat_key = key.reshape(-1)
@@ -128,7 +142,7 @@ def _fill_slots(
     slots_flat = jnp.full((nkeys * capacity + 1,), -1, jnp.int32)
     dest = jnp.where(in_slot, skey * capacity + rank, nkeys * capacity)
     slots_flat = slots_flat.at[dest].set(jnp.where(in_slot, spidx, -1))
-    slots = slots_flat[:-1].reshape(n, gh, gw, capacity)
+    slots = slots_flat[:-1].reshape(n, row_count, gw, capacity)
 
     # a pair that was valid but ranked out of its cell capacity
     over = (skey < nkeys) & (rank >= capacity)
@@ -137,13 +151,19 @@ def _fill_slots(
 
 
 def build_depth_maps(
-    scene: Scene, table: PatchTable, level: int, csize: int
+    scene: Scene, table: PatchTable, level: int, csize: int,
+    row_start=0, row_count: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Z-buffer rebuild (reference filter.cpp:580-626): every alive
     patch projects into EVERY image; its optical-axis depth updates the
-    floor/ceil cell quad. Returns (depth[n, gh, gw], depth_idx)."""
+    floor/ceil cell quad. `row_start`/`row_count` restrict the build to
+    a window of cell rows (exact for those rows: each cell's minimum
+    only involves pairs targeting it, all of which the window sees).
+    Returns (depth[n, row_count, gw], depth_idx)."""
     n = scene.n_images
     gw, gh = grid_dims(scene, level, csize)
+    if row_count is None:
+        row_count = gh
     N = table.capacity
 
     ids = jnp.arange(n, dtype=jnp.int32)
@@ -162,20 +182,26 @@ def build_depth_maps(
 
     base_valid = pvalid & table.alive[:, None]
 
-    dgrid = jnp.full((n * gh * gw + 1,), INF)
+    ncells = n * row_count * gw
+    dgrid = jnp.full((ncells + 1,), INF)
     quads = ((x0, y0), (x1, y0), (x0, y1), (x1, y1))
     dests = []
     for qx, qy in quads:
-        ok = base_valid & (qx >= 0) & (qx < gw) & (qy >= 0) & (qy < gh)
+        qyl = qy - row_start
+        ok = (
+            base_valid & (qx >= 0) & (qx < gw)
+            & (qy >= 0) & (qy < gh)
+            & (qyl >= 0) & (qyl < row_count)
+        )
         dest = jnp.where(
-            ok, (ids[None, :] * gh + qy) * gw + qx, n * gh * gw
+            ok, (ids[None, :] * row_count + qyl) * gw + qx, ncells
         )
         dests.append((dest, ok))
         dgrid = dgrid.at[dest.reshape(-1)].min(
             jnp.where(ok, depth, INF).reshape(-1)
         )
 
-    igrid = jnp.full((n * gh * gw + 1,), -1, jnp.int32)
+    igrid = jnp.full((ncells + 1,), -1, jnp.int32)
     pidx = jnp.broadcast_to(
         jnp.arange(N, dtype=jnp.int32)[:, None], (N, n)
     )
@@ -185,8 +211,8 @@ def build_depth_maps(
             jnp.where(win, pidx, -1).reshape(-1)
         )
     return (
-        dgrid[:-1].reshape(n, gh, gw),
-        igrid[:-1].reshape(n, gh, gw),
+        dgrid[:-1].reshape(n, row_count, gw),
+        igrid[:-1].reshape(n, row_count, gw),
     )
 
 

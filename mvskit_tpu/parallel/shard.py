@@ -239,46 +239,8 @@ def cam_set_global(local_scene, cams):
 
 
 # ----------------------------------------------------------------------
-# tile sharding: halo exchange over cell rows
+# tile sharding (SP/CP analog): the real row-sharded propagation —
+# tile-local grid build, merged donor top-k, 1-cell ppermute halo for
+# the full-cell gate — lives in parallel/tiles.py
+# (tiles.tiled_propagate_round).
 # ----------------------------------------------------------------------
-
-def halo_exchange_rows(x, axis: str):
-    """Exchange one boundary row of a [rows_local, ...] block with both
-    mesh neighbors over `axis` (the propagation halo; SURVEY.md §7).
-    Returns (from_prev, from_next): the neighbor rows adjacent to this
-    block's first/last row (zeros at the mesh edges)."""
-    k = lax.axis_size(axis)
-    fwd = [(i, (i + 1) % k) for i in range(k)]
-    bwd = [(i, (i - 1) % k) for i in range(k)]
-    from_prev = lax.ppermute(x[-1:], axis, fwd)   # prev block's last row
-    from_next = lax.ppermute(x[:1], axis, bwd)    # next block's first row
-    idx = lax.axis_index(axis)
-    from_prev = jnp.where(idx == 0, jnp.zeros_like(from_prev), from_prev)
-    from_next = jnp.where(
-        idx == k - 1, jnp.zeros_like(from_next), from_next
-    )
-    return from_prev, from_next
-
-
-def tiled_depth_fuse(mesh: Mesh, depth_blocks, axis: str = "tile", iters: int = 2):
-    """Minimal tile-sharded pass: per-tile z-buffer smoothing where the
-    cross-tile rows travel by ppermute halo exchange. Demonstrates (and
-    dryrun-validates) the SP/CP-analog communication pattern used by
-    tiled propagation. depth_blocks: [rows, cols] sharded over rows."""
-    from functools import partial
-    from jax import shard_map
-
-    @partial(shard_map, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None))
-    def _fuse(local):
-        def body(_, d):
-            up, down = halo_exchange_rows(d, axis)
-            padded = jnp.concatenate(
-                [jnp.where(up == 0, d[:1], up), d,
-                 jnp.where(down == 0, d[-1:], down)], axis=0
-            )
-            return jnp.minimum(
-                d, jnp.minimum(padded[:-2], padded[2:])
-            )
-        return lax.fori_loop(0, iters, body, local)
-
-    return _fuse(depth_blocks)

@@ -60,6 +60,7 @@ class PropagateParams(NamedTuple):
     grad_steps: int = 0
     grad_lr: float = 0.5
     luma_refine: bool = False
+    neighbor_capacity: int = 48
 
 
 class RoundStats(NamedTuple):
@@ -109,11 +110,18 @@ def generate_hypotheses(
     direction: int,
     key,
     p: PropagateParams,
+    gate_full=None,
+    gate_worst_ncc=None,
 ):
     """generatePatch for a donor batch (reference propagate.cpp:126-237):
     jittered target-cell pixel, depth transfer along the new ray, copied
     normal, view list re-projected (OOB views dropped), initial NCC; a
     full target cell additionally requires beating its worst incumbent.
+
+    `gate_full`/`gate_worst_ncc` optionally supply the full-cell gate
+    state per donor (used by the tile-sharded path, where the target
+    cell's worst incumbent arrives by halo exchange instead of a global
+    grid read — parallel/tiles.py).
 
     Returns (coord, normal, images, ncc0, ok)."""
     gw, gh = gridmod.grid_dims(scene, p.level, p.csize)
@@ -146,12 +154,14 @@ def generate_hypotheses(
 
     # full-cell gate (reference propagate.cpp:166-173): if the target
     # cell is at capacity, the newcomer must beat the worst incumbent
-    txc = jnp.clip(tx, 0, gw - 1)
-    tyc = jnp.clip(ty, 0, gh - 1)
-    worst = grid.slots[donor_img, tyc, txc, p.cell_capacity - 1]
-    full = worst >= 0
-    beats = ncc0 > table.ncc[jnp.maximum(worst, 0)]
-    ok = donor_ok & inb & has_views & jnp.where(full, beats, True)
+    if gate_full is None:
+        txc = jnp.clip(tx, 0, gw - 1)
+        tyc = jnp.clip(ty, 0, gh - 1)
+        worst = grid.slots[donor_img, tyc, txc, p.cell_capacity - 1]
+        gate_full = worst >= 0
+        gate_worst_ncc = table.ncc[jnp.maximum(worst, 0)]
+    beats = ncc0 > gate_worst_ncc
+    ok = donor_ok & inb & has_views & jnp.where(gate_full, beats, True)
     return coord, normal, images, ncc0, ok
 
 
@@ -240,6 +250,7 @@ def run_gauntlet(
             quad_threshold=quad_threshold,
             neighbor_threshold=p.neighbor_threshold,
             neighbor_threshold1=p.neighbor_threshold1,
+            max_neighbors=p.neighbor_capacity,
         )
         fail1 = fail1 | (ok & reject)
         ok = ok & ~reject

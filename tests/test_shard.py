@@ -74,12 +74,5 @@ def test_dp_sharded_propagation(sp):
     assert int(np.asarray(out.n_alive())) >= int(np.asarray(table.n_alive()))
 
 
-def test_tiled_depth_fuse_halo():
-    mesh = sh.make_mesh(4, axis="tile")
-    rows = 16
-    depth = jnp.full((rows, 8), 10.0)
-    depth = depth.at[5, 3].set(1.0)  # single minimum inside tile 1
-    out = np.asarray(sh.tiled_depth_fuse(mesh, depth, iters=3))
-    # the minimum dilates across tile boundaries (rows 4|5..|8)
-    assert out[4, 3] == 1.0 and out[8 - 1, 3] == 1.0
-    assert out[2, 3] == 1.0  # traveled 3 rows up across the tile edge
+# tile sharding (SP/CP) is covered by tests/test_tiles.py: the real
+# row-sharded propagation round must equal the unsharded step exactly.
