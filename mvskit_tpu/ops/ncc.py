@@ -195,13 +195,32 @@ def texs_for_views(
         scene, idx, vcoord, vpx, vpy, vnormal, level, wsize,
         angle_threshold1,
     )
+    if scene.view_mesh is not None:
+        tex, fit = _sample_windows_view_sharded(
+            scene, idx, tl, dx2, dy2, new_level, wsize, illum, luma
+        )
+    else:
+        tex, fit = sample_windows_raw(
+            scene, idx, tl, dx2, dy2, new_level, wsize, illum, luma
+        )
+    valid = valid & (views_t >= 0) & fit
+    return normalize_tex(tex), valid
+
+
+def sample_windows_raw(
+    scene: Scene, idx, tl, dx2, dy2, new_level, wsize: int, illum, luma,
+):
+    """The sampling half of getTex on a [T, B] pair batch: raw
+    (unnormalized) windows from the scene's fastest available plane
+    representation. Returns (tex[C, T, S, B], fit[T, B])."""
+    T, B = idx.shape
     s = wsize * wsize
     use_luma_kernel = luma and scene.planes_luma_levels is not None
     use_rgb_kernel = (not luma) and scene.planes_rgb_levels is not None
     if (use_luma_kernel or use_rgb_kernel) and wsize <= 7:
         # Pallas tile-DMA sampling path: per-window bounding-tile DMA +
         # factorized one-hot MXU matmuls replace the per-index gathers
-        # (ops/pallas_ncc.py). Output arrives normalized.
+        # (ops/pallas_ncc.py).
         from . import pallas_ncc as pk
 
         ni = scene.n_illums
@@ -226,8 +245,7 @@ def texs_for_views(
             for c in range(3 if use_rgb_kernel else 1)
         ]
         tex = jnp.stack(chans, axis=0)  # [C, T, S, B] raw samples
-        valid = valid & (views_t >= 0) & fit.reshape(T, B)
-        return normalize_tex(tex), valid
+        return tex, fit.reshape(T, B)
     xs = jnp.arange(wsize, dtype=jnp.float32)
     lat_x = jnp.tile(xs, wsize)[None, :, None]      # [1, S, 1]
     lat_y = jnp.repeat(xs, wsize)[None, :, None]
@@ -241,10 +259,77 @@ def texs_for_views(
         tex = sampling.sample_color_ch_packed(scene, iidx, gx, gy, lvl, illum)
     else:
         tex = sampling.sample_color_ch(scene, iidx, gx, gy, lvl, illum)
+    return tex, jnp.ones((T, B), bool)
 
-    valid = valid & (views_t >= 0)
-    tex = normalize_tex(tex)
-    return tex, valid
+
+def _sample_windows_view_sharded(
+    scene: Scene, idx, tl, dx2, dy2, new_level, wsize: int, illum, luma,
+):
+    """sample_windows_raw with the plane arrays sharded over the view
+    axis of scene.view_mesh (the TP analog; SURVEY.md §2): every device
+    samples only the (pair, view) entries whose view it owns — through
+    the same fast path, including the Pallas tile-DMA kernel, on its
+    local plane shard — and the disjoint contributions combine by psum
+    over the `view` mesh axis (the ICI collective replacing the
+    reference's all-views loop, optim.cpp:420-425)."""
+    import dataclasses
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = scene.view_mesh
+    axis = scene.view_axis
+    k = mesh.shape[axis]
+    n_local = scene.n_images // k
+    assert n_local * k == scene.n_images, (scene.n_images, k)
+
+    # the worker scene: plane leaves sharded over views, cameras and
+    # level metadata replicated, aux markers cleared so the local
+    # sampling takes the plain path
+    work = dataclasses.replace(scene, masks=None, covis=None, view_mesh=None)
+    sharded = lambda leaf: None if leaf is None else P(axis)
+    spec_scene = dataclasses.replace(
+        work,
+        planes=P(axis),
+        cams=P(),
+        lvl_offsets=P(),
+        lvl_widths=P(),
+        lvl_heights=P(),
+        planes_packed=sharded(work.planes_packed),
+        planes_luma_quad=sharded(work.planes_luma_quad),
+        planes_luma_levels=None
+        if work.planes_luma_levels is None
+        else tuple(P(axis) for _ in work.planes_luma_levels),
+        planes_rgb_levels=None
+        if work.planes_rgb_levels is None
+        else tuple(P(axis) for _ in work.planes_rgb_levels),
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_scene, P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        # pallas_call cannot annotate its outputs' varying mesh axes;
+        # the psum-combined outputs are replicated by construction
+        check_vma=False,
+    )
+    def _sample(scn, idxg, tl, dx2, dy2, new_level):
+        from jax import lax
+
+        base = lax.axis_index(axis) * n_local
+        local = (idxg >= base) & (idxg < base + n_local)
+        lidx = jnp.where(local, idxg - base, 0)
+        tex, fit = sample_windows_raw(
+            scn, lidx, tl, dx2, dy2, new_level, wsize, illum, luma
+        )
+        tex = jnp.where(local[None, :, None, :], tex, 0.0)
+        fit_i = (fit & local).astype(jnp.int32)
+        return lax.psum(tex, axis), lax.psum(fit_i, axis)
+
+    tex, fit_i = _sample(work, idx, tl, dx2, dy2, new_level)
+    return tex, fit_i > 0
 
 
 def incc_cost(tex, valid, minimum):

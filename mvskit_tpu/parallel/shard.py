@@ -7,13 +7,16 @@ MPI/NCCL); every parallel axis here is greenfield design:
     sharded across the mesh; grid builds, the gauntlet, and filters
     are array programs, so GSPMD partitions them and inserts the
     all-to-alls/reduces for the scatter/sort phases automatically;
-  * view sharding (TP analog) — pyramid planes are sharded over the
-    view axis; each chip warps windows only for its local views and the
-    cross-view NCC reduction is a psum over the `view` axis (the ICI
-    collective replacing the reference's all-views loop in
-    optim.cpp:420-425);
+  * view sharding (TP analog) — enable_view_sharding marks the scene
+    and shards every plane representation over the view axis; from then
+    on EVERY NCC window fetch in the engine (gauntlet, filters, driver)
+    runs under shard_map with a psum cross-view combine
+    (ops/ncc._sample_windows_view_sharded), composing with the Pallas
+    tile-DMA kernel — the ICI collective replacing the reference's
+    all-views loop in optim.cpp:420-425;
   * tile sharding (SP/CP analog) — cell-grid rows are sharded; the
-    propagation halo (one cell row) moves by ppermute (halo_exchange).
+    propagation halo (one cell row) moves by ppermute
+    (parallel/tiles.py).
 """
 
 from __future__ import annotations
@@ -79,163 +82,52 @@ def replicate(tree, mesh: Mesh):
 # view-sharded NCC (psum over the view axis)
 # ----------------------------------------------------------------------
 
-def sharded_patch_ncc(
-    mesh: Mesh,
-    scene: Scene,
-    coord,
-    normal,
-    views,
-    *,
-    level: int,
-    wsize: int,
-    tau: int,
-    angle_threshold1: float,
-    axis: str = "view",
-):
-    """computeNcc with the VIEW axis sharded across the mesh.
+def enable_view_sharding(
+    scene: Scene, mesh: Mesh, axis: str = "view"
+) -> Scene:
+    """Place every plane representation of the scene sharded over the
+    mesh's view axis and mark the scene so ops.ncc.texs_for_views runs
+    its sampling under shard_map with a psum cross-view combine (the TP
+    analog, SURVEY.md §2 — each chip stores and samples only its views'
+    pyramids, including through the Pallas tile-DMA kernel).
 
-    Each device holds a contiguous block of pyramid planes, warps
-    windows only for its local views, and the reference-view window plus
-    the weighted INCC numerator/denominator are combined by psum over
-    the `view` mesh axis. Numerically equivalent to
-    ops.ncc.compute_patch_ncc over the first `tau` listed views.
-    Requires scene.n_images % mesh.shape[axis] == 0.
-    """
-    n = scene.n_images
+    Cameras, level metadata and masks stay replicated (geometry and
+    mask gates are per-patch, not per-plane). Requires
+    n_images % mesh.shape[axis] == 0."""
+    import dataclasses
+
     k = mesh.shape[axis]
-    assert n % k == 0, (n, k)
-    n_local = n // k
-
-    views_t = views[:, :tau]
-    weights = nccops.compute_weights(scene, views_t, coord, normal, level)
-    ref = jnp.maximum(views_t[:, 0], 0)
-    pxaxis, pyaxis = cam.get_paxes(scene.cams, ref, coord, normal, level)
-
-    # per-view membership over the GLOBAL view axis
-    B = coord.shape[0]
-    ids = jnp.arange(n, dtype=jnp.int32)
-    pos_is_member = (views_t[:, :, None] == ids[None, None, :]) & (
-        views_t[:, :, None] >= 0
-    )
-    w_full = jnp.einsum("btn,bt->bn", pos_is_member.astype(jnp.float32), weights)
-    member = jnp.any(pos_is_member, axis=1)
-
-    from functools import partial
-    from jax import shard_map
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(
-            P(axis),          # planes block [n_local, ...]
-            P(),              # cams etc. replicated
-            P(), P(), P(), P(), P(),
-            P(None, axis),    # member block [B, n_local]
-            P(None, axis),    # weights block [B, n_local]
+    if scene.n_images % k != 0:
+        raise ValueError(
+            f"n_images={scene.n_images} not divisible by mesh axis "
+            f"{axis}={k}"
+        )
+    sh_v = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    put_v = lambda x: None if x is None else jax.device_put(x, sh_v)
+    put_tuple = lambda t: None if t is None else tuple(put_v(x) for x in t)
+    return dataclasses.replace(
+        scene,
+        planes=put_v(scene.planes),
+        planes_packed=put_v(scene.planes_packed),
+        planes_luma_quad=put_v(scene.planes_luma_quad),
+        planes_luma_levels=put_tuple(scene.planes_luma_levels),
+        planes_rgb_levels=put_tuple(scene.planes_rgb_levels),
+        masks=None if scene.masks is None else jax.device_put(scene.masks, rep),
+        cams=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), scene.cams
         ),
-        out_specs=P(),
+        lvl_offsets=jax.device_put(scene.lvl_offsets, rep),
+        lvl_widths=jax.device_put(scene.lvl_widths, rep),
+        lvl_heights=jax.device_put(scene.lvl_heights, rep),
+        covis=None if scene.covis is None else jax.device_put(scene.covis, rep),
+        view_mesh=mesh,
+        view_axis=axis,
     )
-    def _score(planes_local, cams, coordb, normalb, px, py, refb, memberb, wfull):
-        local_scene = Scene(
-            planes=planes_local,
-            masks=None,
-            cams=cams,
-            lvl_offsets=scene.lvl_offsets,
-            lvl_widths=scene.lvl_widths,
-            lvl_heights=scene.lvl_heights,
-            widths=scene.widths,
-            heights=scene.heights,
-            offsets=scene.offsets,
-            max_level=scene.max_level,
-        )
-        shard = lax.axis_index(axis)
-        base = shard * n_local
-        lids = base + jnp.arange(n_local, dtype=jnp.int32)
 
-        # windows for the local views, batch-minor (plane axes from the
-        # ref view): tex [3, V, S, B], valid [V, B]
-        Bb = coordb.shape[0]
-        vcoord = jnp.broadcast_to(coordb[None, :, :], (n_local, Bb, 4))
-        vnorm = jnp.broadcast_to(normalb[None, :, :], (n_local, Bb, 4))
-        vpx = jnp.broadcast_to(px[None, :, :], (n_local, Bb, 4))
-        vpy = jnp.broadcast_to(py[None, :, :], (n_local, Bb, 4))
-        gids = jnp.broadcast_to(lids[:, None], (n_local, Bb))
-        tex, valid = _get_tex_local(
-            local_scene, cams, gids, base, vcoord, vpx, vpy, vnorm,
-            level, wsize, angle_threshold1,
-        )
-        tex = nccops.normalize_tex(tex)
-        valid = valid & memberb.T          # [V, B]
-        lw = wfull.T                        # [V, B]
-
-        # reference window via psum of the one-hot selection
-        is_ref = gids == refb[None, :]
-        t0_part = jnp.sum(
-            jnp.where((is_ref & valid)[None, :, None, :], tex, 0.0), axis=1
-        )  # [3, S, B]
-        ref_ok_part = jnp.sum((is_ref & valid).astype(jnp.float32), axis=0)
-        t0 = lax.psum(t0_part, axis)
-        ref_ok = lax.psum(ref_ok_part, axis) > 0.0
-
-        dots = jnp.einsum("cvsb,csb->vb", tex, t0) / (3.0 * tex.shape[-2])
-        incc = nccops.robustincc(1.0 - dots)
-        use = valid & ~is_ref
-        num = lax.psum(
-            jnp.sum(jnp.where(use, incc * lw, 0.0), axis=0), axis
-        )
-        den = lax.psum(jnp.sum(jnp.where(use, lw, 0.0), axis=0), axis)
-        score = jnp.where(den > 0.0, num / jnp.where(den == 0, 1.0, den), 2.0)
-        score = jnp.where(ref_ok, score, 2.0)
-        return 1.0 - nccops.unrobustincc(score)
-
-    out = _score(
-        scene.planes, scene.cams, coord, normal, pxaxis, pyaxis,
-        ref, member, w_full,
-    )
-    nimg = jnp.sum(views >= 0, axis=1)
-    return jnp.where(nimg < 2, 1.0 - nccops.unrobustincc(2.0), out)
-
-
-def _get_tex_local(
-    local_scene, cams, gids, base, coord, pxaxis, pyaxis, normal,
-    level, wsize, angle_threshold1,
-):
-    """get_tex against a view-sharded plane block: geometry uses GLOBAL
-    view ids (cameras replicated), sampling indexes LOCAL planes.
-    Batch is (V, B); returns batch-minor tex [3, V, S, B], valid [V, B]."""
-    from ..ops import sampling
-
-    tl, dx2, dy2, new_level, valid = nccops.window_geometry(
-        _GlobalGeomScene(local_scene, cams), gids, coord, pxaxis, pyaxis,
-        normal, level, wsize, angle_threshold1,
-    )
-    s = wsize * wsize
-    V, B = gids.shape
-    xs = jnp.arange(wsize, dtype=jnp.float32)
-    lat_x = jnp.tile(xs, wsize)[None, :, None]
-    lat_y = jnp.repeat(xs, wsize)[None, :, None]
-    gx = tl[:, None, :, 0] + dx2[:, None, :, 0] * lat_x + dy2[:, None, :, 0] * lat_y
-    gy = tl[:, None, :, 1] + dx2[:, None, :, 1] * lat_x + dy2[:, None, :, 1] * lat_y
-    lvl = jnp.broadcast_to(new_level[:, None, :], (V, s, B))
-    lidx = jnp.broadcast_to((gids - base)[:, None, :], (V, s, B))
-    tex = sampling.sample_color_ch(local_scene, lidx, gx, gy, lvl)
-    return tex, valid
-
-
-class _GlobalGeomScene:
-    """Scene facade whose cameras are global but whose level metadata
-    comes from the local block (identical on every shard)."""
-
-    def __init__(self, local_scene, cams):
-        self.cams = cams
-        self.lvl_widths = local_scene.lvl_widths
-        self.lvl_heights = local_scene.lvl_heights
-        self.lvl_offsets = local_scene.lvl_offsets
-
-
-def cam_set_global(local_scene, cams):
-    """The camera set stays replicated (global) under view sharding."""
-    return cams
+# compute_patch_ncc / texs_for_views run view-sharded automatically on
+# a scene marked by enable_view_sharding above (ops/ncc.py routes every
+# window fetch through shard_map + psum) — no separate sharded op.
 
 
 # ----------------------------------------------------------------------

@@ -30,7 +30,7 @@ from . import seed as seedmod
 
 class PMMVS:
     def __init__(self, cfg: MVSConfig, scene: Optional[Scene] = None,
-                 log=print):
+                 log=print, view_mesh=None):
         self.cfg = cfg
         self.log = log
         self.scene = scene if scene is not None else load_scene(
@@ -44,6 +44,15 @@ class PMMVS:
             from ..ops import pallas_ncc as _pk
 
             self.scene = _pk.enable_pallas(self.scene)
+        # view sharding (TP analog): pyramid planes sharded over the
+        # mesh's view axis; every NCC window fetch in the gauntlet and
+        # the filters runs under shard_map with a psum cross-view
+        # combine (parallel/shard.enable_view_sharding). Composes with
+        # the Pallas kernel — each chip samples its own plane shard.
+        if view_mesh is not None:
+            from ..parallel import shard as _sh
+
+            self.scene = _sh.enable_view_sharding(self.scene, view_mesh)
         self.table: Optional[pt.PatchTable] = None
         # mutable threshold state (annealed; reference pmmvps.cpp:70-74)
         self.ncc_threshold = cfg.ncc_threshold

@@ -40,15 +40,16 @@ def test_view_sharded_ncc_matches_reference_op(sp):
             scene, views[:, :TAU], coord, normal, LEVEL, WSIZE, TAU, A1
         )
     )
-    for k in (2, 4, 8):
+    for k in (2, 4):
         mesh = sh.make_mesh(k, axis="view")
+        vscene = sh.enable_view_sharding(scene, mesh)
         got = np.asarray(
-            sh.sharded_patch_ncc(
-                mesh, scene, coord, normal, views,
-                level=LEVEL, wsize=WSIZE, tau=TAU, angle_threshold1=A1,
+            nccops.compute_patch_ncc(
+                vscene, views[:, :TAU], coord, normal, LEVEL, WSIZE,
+                TAU, A1,
             )
         )
-        np.testing.assert_allclose(got, expect, atol=2e-3), k
+        np.testing.assert_allclose(got, expect, atol=1e-5), k
 
 
 def test_dp_sharded_propagation(sp):
