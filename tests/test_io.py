@@ -111,3 +111,46 @@ def test_native_ply_matches_python(tmp_path):
             np.testing.assert_allclose(d_native[k], d_py[k], rtol=1e-6)
         np.testing.assert_array_equal(d_native["rgb"], d_py["rgb"])
         np.testing.assert_allclose(d_native["xyz"], xyz, rtol=1e-6)
+
+
+@pytest.mark.parametrize("binary", [False, True])
+def test_ply_faces_range_grid_roundtrip(tmp_path, binary):
+    """Mesh extensions of the reference PLY adapter (io_file.c
+    ply_write_1/:218-341): face lists, range_grid with obj_info
+    num_cols/num_rows, -1 = empty cell."""
+    rng = np.random.RandomState(2)
+    xyz = rng.uniform(-1, 1, size=(12, 3)).astype(np.float32)
+    faces = [[0, 1, 2], [3, 4, 5, 6], [7, 8, 9]]
+    grid = np.full((4, 5), -1, np.int32)
+    grid[1, 2] = 7
+    grid[3, 4] = 11
+    p = str(tmp_path / ("m_b.ply" if binary else "m_a.ply"))
+    ply.write_ply(p, xyz, faces=faces, range_grid=grid, binary=binary)
+    d = ply.read_ply(p)
+    np.testing.assert_allclose(d["xyz"], xyz, rtol=1e-6)
+    assert len(d["faces"]) == 3
+    for got, want in zip(d["faces"], faces):
+        np.testing.assert_array_equal(got, want)
+    assert d["range_grid"].shape == (4, 5)
+    np.testing.assert_array_equal(d["range_grid"], grid)
+    assert d["obj_info"]["num_cols"] == "5"
+    assert d["obj_info"]["num_rows"] == "4"
+
+
+def test_ply_range_grid_only(tmp_path):
+    """ply_write_list analog (reference io_file.c:189-216): a
+    range_grid-only PLY with no vertex element."""
+    grid = np.array([3, -1, 0, -1, 5, 2], np.int64)
+    p = str(tmp_path / "g.ply")
+    ply.write_range_grid_ply(p, grid)
+    d = ply.read_ply(p)
+    assert "xyz" not in d
+    np.testing.assert_array_equal(d["range_grid"], grid)
+
+
+def test_ply_obj_info_roundtrip(tmp_path):
+    xyz = np.zeros((2, 3), np.float32)
+    p = str(tmp_path / "o.ply")
+    ply.write_ply(p, xyz, obj_info={"scanner": "synthetic rig"})
+    d = ply.read_ply(p)
+    assert d["obj_info"]["scanner"] == "synthetic rig"
