@@ -28,6 +28,44 @@ from . import propagate as pr
 from . import seed as seedmod
 
 
+def _encode_and_write(
+    path_prefix: str,
+    data: Dict[str, np.ndarray],
+    rgb: Optional[np.ndarray],
+    image_ids: np.ndarray,
+    export_ply: bool,
+    export_patch: bool,
+    binary_ply: bool,
+) -> None:
+    """Host-only snapshot encode + disk write (runs in the snapshot
+    writer thread when write_patches(wait=False))."""
+    os.makedirs(os.path.dirname(os.path.abspath(path_prefix)), exist_ok=True)
+    if export_ply:
+        ply.write_ply(
+            path_prefix + ".ply",
+            data["coord"][:, :3],
+            normal=data["normal"][:, :3],
+            rgb=rgb,
+            binary=binary_ply,
+        )
+    if export_patch:
+        def translate(padded):
+            return [
+                [int(image_ids[v]) for v in row[row >= 0]] for row in padded
+            ]
+
+        patch_io.write_patch_file(
+            path_prefix + ".patch",
+            data["coord"],
+            data["normal"],
+            data["ncc"],
+            data["dscale"],
+            data["ascale"],
+            translate(data["images"]),
+            translate(data["vimages"]),
+        )
+
+
 class PMMVS:
     def __init__(self, cfg: MVSConfig, scene: Optional[Scene] = None,
                  log=print, view_mesh=None):
@@ -133,6 +171,18 @@ class PMMVS:
                 )
             )
         )
+        # snapshot color pass over the FULL (static-shape) table: one
+        # jitted dispatch instead of eager per-op round-trips (axon
+        # latency is ~0.5 s/dispatch; eager colors took ~90 s/snapshot)
+        self._colors_full = jax.jit(self._mean_colors)
+        # stage pipelining (PP analog, SURVEY.md §2): snapshot encode +
+        # disk write overlap the next device stage in a writer thread —
+        # the device arrays are functional so the filter running
+        # concurrently never mutates a snapshot's table
+        import concurrent.futures as _cf
+
+        self._snap_pool = _cf.ThreadPoolExecutor(max_workers=1)
+        self._snap_futures = []
 
     # ------------------------------------------------------------------
     @property
@@ -302,7 +352,10 @@ class PMMVS:
         self.count_threshold1 = 2
 
     def run(self, write_snapshots: bool = True) -> None:
-        """PmMvps::run (reference pmmvps.cpp:76-114)."""
+        """PmMvps::run (reference pmmvps.cpp:76-114). Snapshot encoding
+        and disk writes overlap the following device stage (the PP
+        analog — snapshots are the only stage with no forward data
+        dependency)."""
         t0 = time.time()
         if self.table is None:
             self.seed()
@@ -314,7 +367,8 @@ class PMMVS:
                     os.path.join(
                         self.cfg.prefix, "ply",
                         f"refined_patches_before_refine_{it}",
-                    )
+                    ),
+                    wait=False,
                 )
             self.filter()
             self.update_threshold()
@@ -323,14 +377,30 @@ class PMMVS:
                 self.write_patches(
                     os.path.join(
                         self.cfg.prefix, "ply", f"refined_patches_{it}"
-                    )
+                    ),
+                    wait=False,
                 )
+        self.join_snapshots()
         self.log(f"---- Total: {time.time() - t0:.1f} secs ----")
 
+    def _mean_colors(self, scene, coord, images):
+        """Mean color over each patch's views for the whole table
+        (reference patch_manager.cpp:566-587, mode 0), jitted once at
+        the fixed table capacity."""
+        c = coord.astype(jnp.float32)
+        idx = jnp.maximum(images, 0)
+        cols = sampling.color_at_coord(
+            scene, idx, c[:, None, :], self.cfg.level
+        )
+        valid = (images >= 0)[..., None]
+        denom = jnp.maximum(jnp.sum(valid, axis=1), 1)
+        mean = jnp.sum(jnp.where(valid, cols, 0.0), axis=1) / denom
+        return jnp.clip(jnp.floor(mean + 0.5), 0, 255).astype(jnp.uint8)
+
     # ------------------------------------------------------------------
-    def collect(self) -> Dict[str, np.ndarray]:
+    def collect(self, table: Optional[pt.PatchTable] = None) -> Dict[str, np.ndarray]:
         """Alive patches on the host."""
-        t = self.table
+        t = self.table if table is None else table
         alive = np.asarray(t.alive)
         idx = np.nonzero(alive)[0]
         return {
@@ -346,16 +416,29 @@ class PMMVS:
     def patch_colors(self, coord: np.ndarray, images: np.ndarray) -> np.ndarray:
         """Mean color over a patch's views (reference
         patch_manager.cpp:566-587, mode 0)."""
-        c = jnp.asarray(coord, jnp.float32)
-        idx = jnp.maximum(jnp.asarray(images), 0)
-        cols = sampling.color_at_coord(
-            self.scene, idx, c[:, None, :], self.cfg.level
+        pad = self.table.capacity if self.table is not None else coord.shape[0]
+        n = coord.shape[0]
+        if n == pad:
+            c = jnp.asarray(coord, jnp.float32)
+            i = jnp.asarray(images)
+            return np.asarray(self._colors_full(self.scene, c, i))
+        cfull = np.zeros((pad, coord.shape[1]), np.float32)
+        cfull[:n] = coord
+        ifull = np.full((pad, images.shape[1]), -1, np.int32)
+        ifull[:n] = images
+        out = np.asarray(
+            self._colors_full(
+                self.scene, jnp.asarray(cfull), jnp.asarray(ifull)
+            )
         )
-        valid = (jnp.asarray(images) >= 0)[..., None]
-        denom = jnp.maximum(jnp.sum(valid, axis=1), 1)
-        mean = jnp.sum(jnp.where(valid, cols, 0.0), axis=1) / denom
-        out = np.asarray(jnp.floor(mean + 0.5))
-        return np.clip(out, 0, 255).astype(np.uint8)
+        return out[:n]
+
+    def join_snapshots(self) -> None:
+        """Barrier for the snapshot writer thread (PP overlap); also
+        re-raises any snapshot I/O error."""
+        futs, self._snap_futures = self._snap_futures, []
+        for f in futs:
+            f.result()
 
     def write_patches(
         self,
@@ -363,35 +446,26 @@ class PMMVS:
         export_ply: bool = True,
         export_patch: bool = False,
         binary_ply: bool = False,
+        wait: bool = True,
     ) -> None:
         """PatchManager::writePatches (reference
-        patch_manager.cpp:499-540)."""
+        patch_manager.cpp:499-540).
+
+        Device work (host pull + the jitted color pass) happens here;
+        with wait=False the PLY/patch encoding and disk write run in
+        the writer thread, overlapping the next pipeline stage."""
         data = self.collect()
-        os.makedirs(os.path.dirname(os.path.abspath(path_prefix)), exist_ok=True)
-        if export_ply:
-            rgb = self.patch_colors(data["coord"], data["images"])
-            ply.write_ply(
-                path_prefix + ".ply",
-                data["coord"][:, :3],
-                normal=data["normal"][:, :3],
-                rgb=rgb,
-                binary=binary_ply,
-            )
-        if export_patch:
-            ids = np.asarray(self.cfg.images, dtype=np.int64)
-
-            def translate(padded):
-                return [
-                    [int(ids[v]) for v in row[row >= 0]] for row in padded
-                ]
-
-            patch_io.write_patch_file(
-                path_prefix + ".patch",
-                data["coord"],
-                data["normal"],
-                data["ncc"],
-                data["dscale"],
-                data["ascale"],
-                translate(data["images"]),
-                translate(data["vimages"]),
-            )
+        rgb = (
+            self.patch_colors(data["coord"], data["images"])
+            if export_ply
+            else None
+        )
+        image_ids = np.asarray(self.cfg.images, dtype=np.int64)
+        job = functools.partial(
+            _encode_and_write, path_prefix, data, rgb, image_ids,
+            export_ply, export_patch, binary_ply,
+        )
+        if wait:
+            job()
+        else:
+            self._snap_futures.append(self._snap_pool.submit(job))

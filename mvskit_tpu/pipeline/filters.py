@@ -153,9 +153,12 @@ def gain_batch(
             pdepth = jnp.einsum(
                 "bmc,bc->bm", scene.cams.oaxis[img], coord
             )[..., None]
-            bdepth = jnp.sum(
-                scene.cams.oaxis[img][:, :, None, :] * table.coord[cidx],
-                axis=-1,
+            # channel-leading gather (no length-4 minor axis; see
+            # _is_neighbor_vs_table)
+            oax = scene.cams.oaxis[img]  # [B, M, 4]
+            coord_t = table.coord.T
+            bdepth = sum(
+                oax[:, :, None, c] * coord_t[c][cidx] for c in range(4)
             )
             use = use & (pdepth < bdepth)
         maxp = jnp.max(
@@ -173,23 +176,42 @@ def _is_neighbor_vs_table(
     radius=None,
 ):
     """isNeighbor between explicit self patches (broadcast over b_idx's
-    trailing dims) and table rows b_idx."""
-    expand = (slice(None),) + (None,) * (b_idx.ndim - 1)
-    na = normal[expand]
-    ds = dscale[expand]
-    ca = coord[expand]
-    nb = table.normal[b_idx]
-    ndot = jnp.sum(na * nb, axis=-1)
+    trailing dims) and table rows b_idx.
 
-    diff = ca - table.coord[b_idx]
+    Gathers are CHANNEL-LEADING: table coords/normals are fetched one
+    component at a time from [4, N] transposes so no gathered temp ends
+    in a length-4 minor axis. The naive `table.coord[b_idx]` form pads
+    32x under (8,128) tiling — 12.5 GB of HLO temp per gather at the
+    gauntlet's production shape [4096, 6400] (the round-3 E2E OOM)."""
+    expand = (slice(None),) + (None,) * (b_idx.ndim - 1)
+    ds = dscale[expand]
+    coord_t = table.coord.T  # [4, N]
+    normal_t = table.normal.T
+
+    ndot = 0.0
+    f0 = 0.0
+    f1 = 0.0
+    na_c, nb_c, d_c = [], [], []
+    for c in range(4):
+        na = normal[..., c][expand]
+        nb = normal_t[c][b_idx]
+        d = coord[..., c][expand] - coord_t[c][b_idx]
+        ndot = ndot + na * nb
+        f0 = f0 + na * d
+        f1 = f1 + nb * d
+        na_c.append(na)
+        nb_c.append(nb)
+        d_c.append(d)
+
     vunit = ds + table.dscale[b_idx]
     vunit = jnp.where(vunit == 0.0, 1e-6, vunit)
-    f0 = jnp.sum(na * diff, axis=-1)
-    f1 = jnp.sum(nb * diff, axis=-1)
     ftmp = (jnp.abs(f0) + jnp.abs(f1)) / 2.0 / vunit
 
-    hvec = (diff - f0[..., None] * na) + (diff - f1[..., None] * nb)
-    hsize = jnp.sqrt(jnp.maximum(jnp.sum(hvec * hvec, axis=-1), 0.0)) / 2.0 / hunit
+    h2 = 0.0
+    for c in range(4):
+        hv = (d_c[c] - f0 * na_c[c]) + (d_c[c] - f1 * nb_c[c])
+        h2 = h2 + hv * hv
+    hsize = jnp.sqrt(jnp.maximum(h2, 0.0)) / 2.0 / hunit
     ftmp = jnp.where(hsize > 1.0, ftmp / jnp.minimum(2.0, hsize), ftmp)
     ok = (ndot >= COS120) & (ftmp < threshold)
     if radius is not None:
