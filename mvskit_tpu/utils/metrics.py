@@ -35,14 +35,27 @@ def accuracy_completeness(
     cloud: np.ndarray,
     gt: np.ndarray,
     threshold: float,
+    crop_to_gt_bbox: bool = False,
+    bbox_margin: Optional[float] = None,
 ) -> Dict[str, float]:
     """DTU-style metrics:
       accuracy     — mean / median distance cloud -> ground truth, and
                      the fraction of cloud points within `threshold`;
       completeness — mean / median distance ground truth -> cloud, and
                      the fraction of ground-truth points covered.
-    """
-    d_acc = _nn_dist(cloud, gt)
+
+    crop_to_gt_bbox: evaluate accuracy only on cloud points inside the
+    ground truth's bounding box (+ `bbox_margin`, default `threshold`)
+    — the DTU-evaluation convention (observation-volume crop), so a
+    reconstruction legitimately extending beyond the sampled GT extent
+    is not penalized. Completeness always uses the full cloud."""
+    if crop_to_gt_bbox and cloud.shape[0] and gt.shape[0]:
+        m = threshold if bbox_margin is None else bbox_margin
+        lo, hi = gt.min(axis=0) - m, gt.max(axis=0) + m
+        cloud_acc = cloud[np.all((cloud >= lo) & (cloud <= hi), axis=1)]
+    else:
+        cloud_acc = cloud
+    d_acc = _nn_dist(cloud_acc, gt)
     d_comp = _nn_dist(gt, cloud)
     return {
         "acc_mean": float(d_acc.mean()) if d_acc.size else float("inf"),
@@ -52,6 +65,7 @@ def accuracy_completeness(
         "comp_median": float(np.median(d_comp)) if d_comp.size else float("inf"),
         "comp_frac": float((d_comp < threshold).mean()) if d_comp.size else 0.0,
         "n_cloud": int(cloud.shape[0]),
+        "n_cloud_in_gt_bbox": int(cloud_acc.shape[0]),
         "n_gt": int(gt.shape[0]),
     }
 

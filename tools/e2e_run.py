@@ -160,7 +160,9 @@ def main() -> int:
     g = np.linspace(-1.0, 1.0, 200)
     xs, ys = np.meshgrid(g, g)
     gt = np.stack([xs.ravel(), ys.ravel(), np.zeros(xs.size)], axis=1)
-    m = metrics.accuracy_completeness(cloud, gt, threshold=0.05)
+    m = metrics.accuracy_completeness(
+        cloud, gt, threshold=0.05, crop_to_gt_bbox=True
+    )
     m["plane_rms"] = metrics.plane_rms(cloud)
 
     prop_secs = sum(s["seconds"] for s in stages if s["stage"].startswith("propagate"))
