@@ -62,6 +62,8 @@ class MVSConfig:
     refine_shrink: float = 0.8               # radius decay per round
     refine_init_depth_radius: float = 4.0    # in encoded (dscale) units
     refine_init_angle_radius: float = 8.0    # in encoded (ascale) units
+    refine_group_dma: bool = True            # share one Pallas DMA tile
+                                             # across a round's n_cands
     refine_grad_steps: int = 0               # differentiable polish steps
     refine_grad_lr: float = 0.5
     luma_refine: bool = False                # luminance-NCC inside refinement
@@ -77,6 +79,8 @@ class MVSConfig:
     strategy: str = "pm_image"               # "pm_image" | "pmvs"
     prop_rounds: int = 8                     # checkerboard rounds per outer iter
     donor_budget: int = 16384                # max donors per propagation phase
+    donor_policy: str = "cell_first"         # 'cell_first' (per-cell
+                                             # coverage) or 'ncc' (global)
     gauntlet_chunk: int = 4096               # hypothesis batch per gauntlet step
     cell_capacity: Optional[int] = None      # slots per cell; default 2*csize^2
     filter_cell_capacity: int = 16           # larger cap used by filter passes

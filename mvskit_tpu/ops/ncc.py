@@ -173,13 +173,19 @@ def texs_for_views(
     angle_threshold1: float,
     illum=0,
     luma: bool = False,
+    group: int = 1,
 ):
     """Windows for a [B, T] view list sharing per-patch plane axes.
 
     Plane axes come from the *reference* view views[:, 0] (reference
     optim.cpp:635-638: getPAxes on indexes[0] only). views == -1 marks
     padding. Returns (tex[3, T, S, B] normalized, valid[T, B]) — the
-    batch-minor layout keeps TPU tile padding at ~1.14x."""
+    batch-minor layout keeps TPU tile padding at ~1.14x.
+
+    group > 1 declares that every `group` consecutive rows of the batch
+    are jittered candidates of the same patch (same view rows): the
+    Pallas sampler then shares one DMA tile per candidate group
+    (ops/pallas_ncc.sample_windows group mode)."""
     ref = jnp.maximum(views[..., 0], 0)
     pxaxis, pyaxis = cam.get_paxes(scene.cams, ref, coord, normal, level)
 
@@ -197,11 +203,13 @@ def texs_for_views(
     )
     if scene.view_mesh is not None:
         tex, fit = _sample_windows_view_sharded(
-            scene, idx, tl, dx2, dy2, new_level, wsize, illum, luma
+            scene, idx, tl, dx2, dy2, new_level, wsize, illum, luma,
+            group,
         )
     else:
         tex, fit = sample_windows_raw(
-            scene, idx, tl, dx2, dy2, new_level, wsize, illum, luma
+            scene, idx, tl, dx2, dy2, new_level, wsize, illum, luma,
+            group,
         )
     valid = valid & (views_t >= 0) & fit
     return normalize_tex(tex), valid
@@ -209,10 +217,13 @@ def texs_for_views(
 
 def sample_windows_raw(
     scene: Scene, idx, tl, dx2, dy2, new_level, wsize: int, illum, luma,
+    group: int = 1,
 ):
     """The sampling half of getTex on a [T, B] pair batch: raw
     (unnormalized) windows from the scene's fastest available plane
-    representation. Returns (tex[C, T, S, B], fit[T, B])."""
+    representation. Returns (tex[C, T, S, B], fit[T, B]). `group` is
+    the Pallas candidate-group size (consecutive along B; the [T, B] ->
+    flat reshape is T-major so members stay contiguous)."""
     T, B = idx.shape
     s = wsize * wsize
     use_luma_kernel = luma and scene.planes_luma_levels is not None
@@ -236,6 +247,7 @@ def sample_windows_raw(
             dy2.reshape(-1, 2),
             wsize=wsize,
             rgb=use_rgb_kernel,
+            group=group,
         )  # [C*SPAD, T*B], [T*B]
         spad = out.shape[0] // (3 if use_rgb_kernel else 1)
         chans = [
@@ -264,6 +276,7 @@ def sample_windows_raw(
 
 def _sample_windows_view_sharded(
     scene: Scene, idx, tl, dx2, dy2, new_level, wsize: int, illum, luma,
+    group: int = 1,
 ):
     """sample_windows_raw with the plane arrays sharded over the view
     axis of scene.view_mesh (the TP analog; SURVEY.md §2): every device
@@ -322,7 +335,8 @@ def _sample_windows_view_sharded(
         local = (idxg >= base) & (idxg < base + n_local)
         lidx = jnp.where(local, idxg - base, 0)
         tex, fit = sample_windows_raw(
-            scn, lidx, tl, dx2, dy2, new_level, wsize, illum, luma
+            scn, lidx, tl, dx2, dy2, new_level, wsize, illum, luma,
+            group,
         )
         tex = jnp.where(local[None, :, None, :], tex, 0.0)
         fit_i = (fit & local).astype(jnp.int32)

@@ -36,12 +36,25 @@ from jax.experimental.pallas import tpu as pltpu
 W_BLK = 128  # windows per program
 NBUF = 16    # DMA pipeline depth (tiles in flight)
 
+# extra tile margin (px, each axis) for GROUPED mode: K refinement
+# candidates of one (patch, view) share a single DMA'd tile, so the
+# tile must also absorb the candidate spread (depth jitter translates
+# the window along the epipolar line by ~refine_init_depth_radius
+# half-pixels; angle jitter perturbs the lattice steps). Members whose
+# window still escapes the shared tile are masked by the fit bit.
+GROUP_MARGIN = 14
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _tile_dims(wsize: int) -> Tuple[int, int, int]:
+def _compact_w(group: int = 1) -> int:
+    """Lanes kept after the dynamic rotation (window + group spread)."""
+    return 48 if group > 1 else 32
+
+
+def _tile_dims(wsize: int, group: int = 1) -> Tuple[int, int, int]:
     """(TILE_H, TILE_W, SPAD) for a given window size.
 
     The projected lattice after window_geometry's level shift has steps
@@ -50,9 +63,12 @@ def _tile_dims(wsize: int) -> Tuple[int, int, int]:
     8-row DMA alignment of y0 (HBM memrefs are (8,128)-tiled; row
     offsets must be provably divisible by 8). Windows that still
     overflow (level_diff clipped at +-2 with extreme footprints) are
-    masked out by sample_windows' fit mask.
+    masked out by sample_windows' fit mask. group > 1 adds the grouped
+    candidate-spread margin (GROUP_MARGIN).
     """
     span = int(np.ceil((wsize - 1) * 2 * 1.42)) + 6
+    if group > 1:
+        span += GROUP_MARGIN
     tile_h = _round_up(max(span + 7, 32), 8)
     # slice widths AND lane offsets must be 128-aligned: x0 floors to a
     # multiple of 128, so the tile needs 127 lanes of slack
@@ -68,6 +84,11 @@ def _split_pad_levels(scene, flat) -> Tuple[jnp.ndarray, ...]:
     border-safety margins of window_geometry keep real samples inside
     the true extent; padding is never sampled."""
     tile_h, tile_w, _ = _tile_dims(7)
+    # pad for the LARGEST tile any kernel mode DMAs (grouped tiles are
+    # taller than single-window ones) so every aligned slice stays in
+    # bounds regardless of the group size used at call time
+    gh, gw, _ = _tile_dims(7, group=2)
+    tile_h, tile_w = max(tile_h, gh), max(tile_w, gw)
     out = []
     n = flat.shape[0]
     for l in range(scene.max_level):
@@ -130,16 +151,24 @@ def enable_pallas(scene):
 
 
 def _make_kernel(
-    n_levels: int, wsize: int, rgb: bool = False, ablate: str = ""
+    n_levels: int, wsize: int, rgb: bool = False, ablate: str = "",
+    group: int = 1,
 ):
     """ablate: '' normal; 'nodma' skips the tile fetches (garbage out);
     'nocompute' fetches but stores a trivial function of the tile —
-    perf-tuning scaffolding for separating DMA from compute cost."""
-    tile_h, tile_w, spad = _tile_dims(wsize)
+    perf-tuning scaffolding for separating DMA from compute cost.
+
+    group > 1: GROUPED mode — every `group` consecutive windows share
+    one DMA'd tile (and one rotate + RGB unpack): the tile-reuse scheme
+    for refinement candidates of the same (patch, view), cutting DMA
+    descriptors (the kernel's limiting resource) by the group factor.
+    """
+    tile_h, tile_w, spad = _tile_dims(wsize, group)
+    n_grp = W_BLK // group  # groups (= DMAs) per program
 
     # compacted window width: after the dynamic lane rotation the
     # window lattice starts at lane 0 and fits in CW lanes
-    cw = 32
+    cw = _compact_w(group)
 
     def kernel(
         # scalar prefetch (SMEM): packed ids img*L+lvl,
@@ -158,11 +187,11 @@ def _make_kernel(
         sems = rest[2 + n_levels + 2]    # DMA sems [NBUF]
         blk = pl.program_id(0)
 
-        def start_dma(j, slot):
-            """Issue the HBM->VMEM tile fetch for window j into slot."""
+        def start_dma(g, slot):
+            """Issue the HBM->VMEM tile fetch for group g into slot."""
             if ablate == "nodma":
                 return
-            i = blk * W_BLK + j
+            i = blk * n_grp + g
             il = il_ref[i]
             img = il // n_levels
             lvl = il - img * n_levels
@@ -192,28 +221,30 @@ def _make_kernel(
             ).wait()
 
         # warm up the pipeline
-        for j in range(NBUF):
-            start_dma(j, j)
+        for g in range(min(NBUF, n_grp)):
+            start_dma(g, g)
 
-        def one_window(j, _):
-            slot = lax.rem(j, NBUF)
+        def one_group(g, _):
+            slot = lax.rem(g, NBUF)
             wait_dma(slot)
             if ablate == "nocompute":
                 nch = 3 if rgb else 1
-                out_ref[pl.ds(j, 1), :] = tiles[slot][
-                    0:1, : nch * spad
-                ].astype(jnp.float32)
+                for k in range(group):
+                    out_ref[pl.ds(g * group + k, 1), :] = tiles[slot][
+                        0:1, : nch * spad
+                    ].astype(jnp.float32)
 
-                @pl.when(j + NBUF < W_BLK)
+                @pl.when(g + NBUF < n_grp)
                 def _():
-                    start_dma(j + NBUF, slot)
+                    start_dma(g + NBUF, slot)
 
                 return 0
-            i = blk * W_BLK + j
+            i = blk * n_grp + g
             off = yx_ref[i] & 0xFF
             # rotate the DMA'd tile so the window lattice starts at
             # lane 0 and keep CW lanes: weight construction and the
-            # sampling matmul shrink from K=tile_w to K=CW
+            # sampling matmul shrink from K=tile_w to K=CW. One rotate
+            # (and one RGB unpack) serves the whole group.
             if ablate == "norot":
                 tile = tiles[slot][:, :cw]
             else:
@@ -221,44 +252,12 @@ def _make_kernel(
                     tiles[slot], lax.rem(tile_w - off, tile_w), 1
                 )[:, :cw]
 
-            # sample coords inside the compact tile; samples live in
-            # the LANE axis (Mosaic supports dynamic-sublane but not
-            # dynamic-lane stores, so one window = one output row)
-            sx = sx_ref[pl.ds(j, 1), :]  # [1, spad]
-            sy = sy_ref[pl.ds(j, 1), :]
-            # clip reproduces the reference sampler's edge clamp
-            # (ix = min(ix, w-2), fx = clip(frac)) in tent form
-            sx = jnp.clip(sx, 0.0, float(cw - 1))
-            sy = jnp.clip(sy, 0.0, float(tile_h - 1))
-            if ablate == "nowx":
-                sx = jnp.zeros_like(sx)
-                sy = jnp.zeros_like(sy)
-
-            # bilinear weights factorize: w[s,(r,c)] = wy[r,s]*wx[c,s],
-            # and each factor is a TENT: relu(1 - |c - sx|) equals the
-            # two-tap interpolation weights in 3 ops with no int
-            # index/frac split. One [tile_h,cw]x[cw,spad] matmul
-            # gathers columns; a wy-weighted sublane reduction
-            # finishes the sample.
-            # NOTE: Mosaic's tpu.iota only supports integer result
-            # types — build the iota in int32 and cast (a f32 iota
-            # fails kernel verification on real TPUs; interpret-mode
-            # tests cannot catch this).
-            cidx = jax.lax.broadcasted_iota(
-                jnp.int32, (cw, spad), 0
-            ).astype(jnp.float32)
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(cidx - sx))
-            ridx = jax.lax.broadcasted_iota(
-                jnp.int32, (tile_h, spad), 0
-            ).astype(jnp.float32)
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ridx - sy))
-
             if rgb:
                 # unpack r|g<<8|b<<16 (the DMA moved the same bytes as
                 # one luma plane) and stack the channel tiles along
                 # sublanes: ONE [3*tile_h, cw] x [cw, spad] matmul
-                # fills the MXU's M dimension (M=96) instead of three
-                # M=32 passes
+                # fills the MXU's M dimension (M=3*tile_h) instead of
+                # three M=tile_h passes
                 planes = jnp.concatenate(
                     [
                         ((tile >> sh) & 0xFF).astype(jnp.float32)
@@ -268,42 +267,79 @@ def _make_kernel(
                 )  # [3*tile_h, cw]
             else:
                 planes = tile
-            if ablate == "nomm":
-                tmp = jnp.broadcast_to(
-                    planes[:, :1], (planes.shape[0], spad)
-                ) + wx[:1]
-            else:
-                tmp = jax.lax.dot_general(
-                    planes,
-                    wx,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [C*tile_h, spad]
-            nchan = 3 if rgb else 1
-            chans = [
-                jnp.sum(
-                    wy * tmp[c * tile_h : (c + 1) * tile_h],
-                    axis=0,
-                    keepdims=True,
-                )
-                for c in range(nchan)
-            ]
+            # NOTE: Mosaic's tpu.iota only supports integer result
+            # types — build the iota in int32 and cast (a f32 iota
+            # fails kernel verification on real TPUs; interpret-mode
+            # tests cannot catch this).
+            cidx = jax.lax.broadcasted_iota(
+                jnp.int32, (cw, spad), 0
+            ).astype(jnp.float32)
+            ridx = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_h, spad), 0
+            ).astype(jnp.float32)
 
-            # prefetch the tile NBUF windows ahead
-            @pl.when(j + NBUF < W_BLK)
+            for k in range(group):
+                j = g * group + k if group > 1 else g
+                # sample coords inside the compact tile; samples live
+                # in the LANE axis (Mosaic supports dynamic-sublane but
+                # not dynamic-lane stores, so one window = one output
+                # row)
+                sx = sx_ref[pl.ds(j, 1), :]  # [1, spad]
+                sy = sy_ref[pl.ds(j, 1), :]
+                # clip reproduces the reference sampler's edge clamp
+                # (ix = min(ix, w-2), fx = clip(frac)) in tent form
+                sx = jnp.clip(sx, 0.0, float(cw - 1))
+                sy = jnp.clip(sy, 0.0, float(tile_h - 1))
+                if ablate == "nowx":
+                    sx = jnp.zeros_like(sx)
+                    sy = jnp.zeros_like(sy)
+
+                # bilinear weights factorize: w[s,(r,c)] =
+                # wy[r,s]*wx[c,s], and each factor is a TENT:
+                # relu(1 - |c - sx|) equals the two-tap interpolation
+                # weights in 3 ops with no int index/frac split. One
+                # [tile_h,cw]x[cw,spad] matmul gathers columns; a
+                # wy-weighted sublane reduction finishes the sample.
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(cidx - sx))
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(ridx - sy))
+
+                if ablate == "nomm":
+                    tmp = jnp.broadcast_to(
+                        planes[:, :1], (planes.shape[0], spad)
+                    ) + wx[:1]
+                else:
+                    tmp = jax.lax.dot_general(
+                        planes,
+                        wx,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [C*tile_h, spad]
+                nchan = 3 if rgb else 1
+                chans = [
+                    jnp.sum(
+                        wy * tmp[c * tile_h : (c + 1) * tile_h],
+                        axis=0,
+                        keepdims=True,
+                    )
+                    for c in range(nchan)
+                ]
+
+                # RAW samples out — normalization (reference
+                # optim.cpp:917-940) happens outside in one batched XLA
+                # pass at memory bandwidth; in-kernel it would add ~10
+                # serial latency-bound ops to every window's chain.
+                # Lanes wsize^2..spad of each channel block are lattice
+                # duplicates the caller slices away.
+                out_ref[pl.ds(j, 1), :] = jnp.concatenate(chans, axis=1)
+
+            # prefetch the tile NBUF groups ahead
+            @pl.when(g + NBUF < n_grp)
             def _():
-                start_dma(j + NBUF, slot)
+                start_dma(g + NBUF, slot)
 
-            # RAW samples out — normalization (reference
-            # optim.cpp:917-940) happens outside in one batched XLA
-            # pass at memory bandwidth; in-kernel it would add ~10
-            # serial latency-bound ops to every window's chain.
-            # Lanes wsize^2..spad of each channel block are lattice
-            # duplicates the caller slices away.
-            out_ref[pl.ds(j, 1), :] = jnp.concatenate(chans, axis=1)
             return 0
 
-        lax.fori_loop(0, W_BLK, one_window, 0)
+        lax.fori_loop(0, n_grp, one_group, 0)
 
     return kernel
 
@@ -319,6 +355,7 @@ def sample_windows(
     rgb: bool = False,
     interpret: bool = False,
     ablate: str = "",
+    group: int = 1,
 ):
     """Fused sample+normalize for a window batch.
 
@@ -328,6 +365,13 @@ def sample_windows(
     lvl    : [B] resolved pyramid level of each window
     tl     : [B, 2] lattice origin (pixel coords at `lvl`)
     dx, dy : [B, 2] lattice steps
+    group  : every `group` CONSECUTIVE windows share one DMA'd tile
+             (refinement candidates of the same patch x view: same img,
+             near-identical geometry). The shared tile is the bbox of
+             the members that resolve to member 0's pyramid level;
+             members at another level or escaping the tile get
+             fit=False. Cuts DMA descriptors (the kernel's limiting
+             resource) by the group factor.
 
     Returns (tex [C*SPAD, B] RAW sampled windows, channel-major — rows
     wsize^2.. of each channel block are lattice duplicates to discard —
@@ -337,8 +381,11 @@ def sample_windows(
     XLA pass (ncc.normalize_tex).
     """
     B = img.shape[0]
+    if group > 1 and (W_BLK % group != 0 or B % group != 0):
+        group = 1
     n_levels = len(levels)
-    tile_h, tile_w, spad = _tile_dims(wsize)
+    tile_h, tile_w, spad = _tile_dims(wsize, group)
+    cw = _compact_w(group)
     # off-TPU (CPU test runs) Mosaic cannot compile: use interpret mode
     interpret = interpret or jax.default_backend() != "tpu"
     # tile origin: floor(lattice bbox min) minus a 2px guard, clamped
@@ -364,38 +411,83 @@ def sample_windows(
         ],
         axis=0,
     )
-    cw = 32  # compact window width (kernel slices this after rotation)
-    # exact window origin; the kernel's dynamic lane rotation brings
-    # lane x0e of the aligned DMA tile to lane 0
-    x0e = jnp.clip(
-        jnp.floor(jnp.min(cx, axis=0)).astype(jnp.int32) - 2,
-        0,
-        jnp.maximum(ws - cw, 0),
-    )
-    y0 = jnp.clip(
-        jnp.floor(jnp.min(cy, axis=0)).astype(jnp.int32) - 2,
-        0,
-        jnp.maximum(hs - tile_h, 0),
-    )
-    # DMA offsets must be tile-aligned (HBM (8,128) tiling): y0 floors
-    # to 8 (tile_h carries the slack), x0 floors to 128 but clamps so
-    # the tile stays in bounds — the lane offset is carried separately
-    # (off <= tile_w - cw by the x0e clip above)
-    y0 = (y0 // 8) * 8
-    x0a = jnp.minimum(
-        (x0e // 128) * 128, jnp.maximum(ws - tile_w, 0)
-    )
-    off = x0e - x0a
-    # exact fit: every sample's 2x2 interp support inside the compact
-    # window and the tile rows
-    x0f = x0e.astype(jnp.float32)
-    y0f = y0.astype(jnp.float32)
-    fit = (
-        (jnp.min(cx, axis=0) >= x0f)
-        & (jnp.max(cx, axis=0) <= x0f + (cw - 2))
-        & (jnp.min(cy, axis=0) >= y0f)
-        & (jnp.max(cy, axis=0) <= y0f + (tile_h - 2))
-    )
+    wminx = jnp.min(cx, axis=0)
+    wmaxx = jnp.max(cx, axis=0)
+    wminy = jnp.min(cy, axis=0)
+    wmaxy = jnp.max(cy, axis=0)
+    if group > 1:
+        # GROUPED: one tile per group of `group` consecutive windows.
+        # Group level/plane = member 0's; the bbox spans the members
+        # that share it (others are masked by okl and fit=False).
+        G = B // group
+        lv = lvl.reshape(G, group)
+        okl = lv == lv[:, :1]
+        big = jnp.float32(2**30)
+        gminx = jnp.min(jnp.where(okl, wminx.reshape(G, group), big), 1)
+        gmaxx = jnp.max(jnp.where(okl, wmaxx.reshape(G, group), -big), 1)
+        gminy = jnp.min(jnp.where(okl, wminy.reshape(G, group), big), 1)
+        gmaxy = jnp.max(jnp.where(okl, wmaxy.reshape(G, group), -big), 1)
+        wsg = ws.reshape(G, group)[:, 0]
+        hsg = hs.reshape(G, group)[:, 0]
+        x0e = jnp.clip(
+            jnp.floor(gminx).astype(jnp.int32) - 2,
+            0, jnp.maximum(wsg - cw, 0),
+        )
+        y0 = jnp.clip(
+            jnp.floor(gminy).astype(jnp.int32) - 2,
+            0, jnp.maximum(hsg - tile_h, 0),
+        )
+        y0 = (y0 // 8) * 8
+        x0a = jnp.minimum((x0e // 128) * 128, jnp.maximum(wsg - tile_w, 0))
+        off = x0e - x0a
+        x0f = x0e.astype(jnp.float32)[:, None]
+        y0f = y0.astype(jnp.float32)[:, None]
+        fit = (
+            okl
+            & (wminx.reshape(G, group) >= x0f)
+            & (wmaxx.reshape(G, group) <= x0f + (cw - 2))
+            & (wminy.reshape(G, group) >= y0f)
+            & (wmaxy.reshape(G, group) <= y0f + (tile_h - 2))
+        ).reshape(B)
+        img_g = img.reshape(G, group)[:, 0]
+        lvl_g = lv[:, 0]
+        # per-window tile origin for the sample coords below
+        x0e_w = jnp.repeat(x0e, group)
+        y0_w = jnp.repeat(y0, group)
+    else:
+        # exact window origin; the kernel's dynamic lane rotation
+        # brings lane x0e of the aligned DMA tile to lane 0
+        x0e = jnp.clip(
+            jnp.floor(wminx).astype(jnp.int32) - 2,
+            0,
+            jnp.maximum(ws - cw, 0),
+        )
+        y0 = jnp.clip(
+            jnp.floor(wminy).astype(jnp.int32) - 2,
+            0,
+            jnp.maximum(hs - tile_h, 0),
+        )
+        # DMA offsets must be tile-aligned (HBM (8,128) tiling): y0
+        # floors to 8 (tile_h carries the slack), x0 floors to 128 but
+        # clamps so the tile stays in bounds — the lane offset is
+        # carried separately (off <= tile_w - cw by the x0e clip above)
+        y0 = (y0 // 8) * 8
+        x0a = jnp.minimum(
+            (x0e // 128) * 128, jnp.maximum(ws - tile_w, 0)
+        )
+        off = x0e - x0a
+        # exact fit: every sample's 2x2 interp support inside the
+        # compact window and the tile rows
+        x0f = x0e.astype(jnp.float32)
+        y0f = y0.astype(jnp.float32)
+        fit = (
+            (wminx >= x0f)
+            & (wmaxx <= x0f + (cw - 2))
+            & (wminy >= y0f)
+            & (wmaxy <= y0f + (tile_h - 2))
+        )
+        img_g, lvl_g = img, lvl
+        x0e_w, y0_w = x0e, y0
 
     # per-window sample coordinates RELATIVE to the tile origin,
     # precomputed in XLA (the kernel reads one [1, spad] row each):
@@ -405,15 +497,16 @@ def sample_windows(
     lj = jnp.minimum(sarange // wsize, wsize - 1)[None, :]
     sxr = (
         tl[:, :1] + dx[:, :1] * li + dy[:, :1] * lj
-        - x0e.astype(jnp.float32)[:, None]
+        - x0e_w.astype(jnp.float32)[:, None]
     )  # [B, spad]
     syr = (
         tl[:, 1:] + dx[:, 1:] * li + dy[:, 1:] * lj
-        - y0.astype(jnp.float32)[:, None]
+        - y0_w.astype(jnp.float32)[:, None]
     )
-    # packed SMEM scalars (scalar memory is tiny — two arrays only):
+    # packed SMEM scalars (scalar memory is tiny — two arrays only),
+    # one entry per GROUP (= per DMA descriptor):
     # yx = y0/8 (13b) | x0a/128 (10b) | lane offset (8b)
-    il = img.astype(jnp.int32) * n_levels + lvl.astype(jnp.int32)
+    il = img_g.astype(jnp.int32) * n_levels + lvl_g.astype(jnp.int32)
     yx = (
         ((y0.astype(jnp.int32) // 8) << 18)
         | ((x0a.astype(jnp.int32) // 128) << 8)
@@ -426,8 +519,9 @@ def sample_windows(
     Bp = _round_up(B, CH)
     if Bp != B:
         padn = Bp - B
-        il = jnp.concatenate([il, jnp.zeros((padn,), jnp.int32)])
-        yx = jnp.concatenate([yx, jnp.zeros((padn,), jnp.int32)])
+        padg = padn // group
+        il = jnp.concatenate([il, jnp.zeros((padg,), jnp.int32)])
+        yx = jnp.concatenate([yx, jnp.zeros((padg,), jnp.int32)])
         sxr = jnp.concatenate([sxr, jnp.zeros((padn, spad), jnp.float32)])
         syr = jnp.concatenate([syr, jnp.zeros((padn, spad), jnp.float32)])
 
@@ -459,7 +553,7 @@ def sample_windows(
         ],
     )
     call = pl.pallas_call(
-        _make_kernel(n_levels, wsize, rgb, ablate),
+        _make_kernel(n_levels, wsize, rgb, ablate, group),
         out_shape=jax.ShapeDtypeStruct((CH, nchan * spad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -471,8 +565,8 @@ def sample_windows(
         out = lax.map(
             lambda a: call(a[0], a[1], a[2], a[3], *levels),
             (
-                il.reshape(nch, CH),
-                yx.reshape(nch, CH),
+                il.reshape(nch, CH // group),
+                yx.reshape(nch, CH // group),
                 sxr.reshape(nch, CH, spad),
                 syr.reshape(nch, CH, spad),
             ),

@@ -164,13 +164,16 @@ def tiled_select_donors(
     level: int,
     csize: int,
     axis: str = "tile",
+    policy: str = "cell_first",
 ):
     """select_donors over a row-sharded grid: per-tile local top-k
-    candidates, merged into the exact global NCC-descending top-budget
-    (a locally-dropped candidate has >= budget better candidates in its
-    own tile, so it cannot reach the global top — the merge is lossless).
-    Returns (pidx, img, cy, cx, ok), identical to
-    propagate.select_donors on the same (padded-layout) grid."""
+    candidates, merged into the exact global priority-descending
+    top-budget (a locally-dropped candidate has >= budget better
+    candidates in its own tile, so it cannot reach the global top — the
+    merge is lossless for any per-slot priority, including the
+    cell_first rank-major one). Returns (pidx, img, cy, cx, ok),
+    identical to propagate.select_donors on the same (padded-layout)
+    grid."""
     k = mesh.shape[axis]
     gh_l, gh_pad = _tile_rows(scene, level, csize, k)
     n = scene.n_images
@@ -186,11 +189,10 @@ def tiled_select_donors(
     def _local(slots_local, images0, ncc, alive):
         flat = slots_local.reshape(-1)
         pidx = jnp.maximum(flat, 0)
-        slot_img = (
-            jnp.arange(n * gh_l * gw * S, dtype=jnp.int32) // (gh_l * gw * S)
-        )
+        ar = jnp.arange(n * gh_l * gw * S, dtype=jnp.int32)
+        slot_img = ar // (gh_l * gw * S)
         ok = (flat >= 0) & (images0[pidx] == slot_img) & alive[pidx]
-        prio = jnp.where(ok, ncc[pidx], NEG)
+        prio = pr.donor_priority(ncc[pidx], ar % S, ok, policy)
         vals, loc = lax.top_k(prio, budget)
         # local flat index -> global (padded-layout) flat index
         t = lax.axis_index(axis)
@@ -310,7 +312,7 @@ def tiled_propagate_round(
 
         donors = tiled_select_donors(
             mesh, scene, grid_t, table, p.donor_budget, p.level, p.csize,
-            axis=axis,
+            axis=axis, policy=p.donor_policy,
         )
         pidx, img, cy, cx, ok = donors
         gate_full, gate_worst = tiled_full_cell_gate(

@@ -213,6 +213,8 @@ class PMMVS:
             grad_lr=cfg.refine_grad_lr,
             luma_refine=cfg.luma_refine,
             neighbor_capacity=cfg.neighbor_capacity,
+            group_dma=cfg.refine_group_dma,
+            donor_policy=cfg.donor_policy,
         )
 
     def _next_key(self):

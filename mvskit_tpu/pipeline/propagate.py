@@ -61,6 +61,8 @@ class PropagateParams(NamedTuple):
     grad_lr: float = 0.5
     luma_refine: bool = False
     neighbor_capacity: int = 48
+    group_dma: bool = True
+    donor_policy: str = "cell_first"
 
 
 class RoundStats(NamedTuple):
@@ -70,10 +72,32 @@ class RoundStats(NamedTuple):
     passed: jnp.ndarray   # accepted (m_pcount)
 
 
+def donor_priority(ncc_vals, slot_rank, ok, policy: str):
+    """Donation priority of a grid slot.
+
+    'cell_first' (default): every cell's slot-0 (best-NCC) patch
+    outranks ANY cell's slot-1 patch — the array analog of the
+    reference donating from every non-empty cell each sweep
+    (propagate.cpp:88-121, per-cell NCC-descending sort). A pure
+    global-NCC top-k ('ncc') starves low-texture frontier cells once
+    the table outgrows the budget (the round-1 VERDICT coverage risk);
+    rank-major order caps the per-cell donation instead, like the
+    reference's MAX_NUM_OF_PATCHES cell cap. Within a rank the order is
+    still NCC-descending. ncc is in [-1, 1], so a 2.5 rank step keeps
+    ranks strictly separated."""
+    if policy == "cell_first":
+        prio = ncc_vals - 2.5 * slot_rank.astype(jnp.float32)
+    else:
+        prio = ncc_vals
+    return jnp.where(ok, prio, NEG)
+
+
 def select_donors(
-    scene: Scene, grid: gridmod.GridState, table: PatchTable, budget: int
+    scene: Scene, grid: gridmod.GridState, table: PatchTable, budget: int,
+    policy: str = "cell_first",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Pick up to `budget` donor (patch, cell) pairs, NCC-descending.
+    """Pick up to `budget` donor (patch, cell) pairs, priority-ordered
+    (donor_priority above).
 
     A slot donates only when the grid's image is the patch's reference
     view (reference propagate.cpp:104). Returns (pidx, img, cy, cx, ok)
@@ -81,12 +105,11 @@ def select_donors(
     n, gh, gw, S = grid.slots.shape
     flat = grid.slots.reshape(-1)
     pidx = jnp.maximum(flat, 0)
-    slot_img = (
-        jnp.arange(n * gh * gw * S, dtype=jnp.int32) // (gh * gw * S)
-    )
+    ar = jnp.arange(n * gh * gw * S, dtype=jnp.int32)
+    slot_img = ar // (gh * gw * S)
     is_ref = table.images[pidx, 0] == slot_img
     ok = (flat >= 0) & is_ref & table.alive[pidx]
-    prio = jnp.where(ok, table.ncc[pidx], NEG)
+    prio = donor_priority(table.ncc[pidx], ar % S, ok, policy)
     _, top = lax.top_k(prio, budget)
     cell = top // S
     img = cell // (gh * gw)
@@ -216,7 +239,7 @@ def run_gauntlet(
         init_depth_radius=p.refine_depth_radius,
         init_angle_radius=p.refine_angle_radius,
         grad_steps=p.grad_steps, grad_lr=p.grad_lr,
-        luma=p.luma_refine,
+        luma=p.luma_refine, group_dma=p.group_dma,
     )
 
     post_images, post_ok, _ = vw.post_process_core(
@@ -326,7 +349,9 @@ def propagate_round(
         # (reference propagate.cpp:94-98 removePatch)
         table = table._replace(alive=table.alive & ~grid.evicted)
 
-        donors = select_donors(scene, grid, table, p.donor_budget)
+        donors = select_donors(
+            scene, grid, table, p.donor_budget, p.donor_policy
+        )
         coord, normal, images, ncc0, ok = generate_hypotheses(
             scene, table, grid, *donors, axis, direction, k1, p
         )

@@ -75,11 +75,11 @@ class RefineResult(NamedTuple):
 
 def _eval_cost(
     scene, views, coord, normal, minimum, level, wsize, angle_threshold1,
-    luma=False,
+    luma=False, group=1,
 ):
     tex, valid = nccops.texs_for_views(
         scene, views, coord, normal, level, wsize, angle_threshold1,
-        luma=luma,
+        luma=luma, group=group,
     )
     return nccops.incc_cost(tex, valid, minimum)
 
@@ -106,12 +106,19 @@ def refine_batch(
     grad_steps: int = 0,
     grad_lr: float = 0.5,
     luma: bool = False,
+    group_dma: bool = True,
 ) -> RefineResult:
     """Refine a batch of patches (reference Optim::refinePatch,
     optim.cpp:470-547). `images` is the fixed view list for the whole
     refinement (the reference snapshots m_indexes); entry 0 is the
     reference view. Total cost evaluations per patch:
-    1 + rounds * n_cands (budget analog of the reference's maxeval)."""
+    1 + rounds * n_cands (budget analog of the reference's maxeval).
+
+    group_dma: on the Pallas path, the n_cands jittered candidates of
+    each round share one DMA tile per (patch, view) — n_cands x fewer
+    DMA descriptors on the kernel's limiting resource. Candidates whose
+    window escapes the shared tile (or resolves to a different pyramid
+    level than candidate 0) lose that view for that evaluation only."""
     B = coord.shape[0]
     ref = jnp.maximum(images[:, 0], 0)
     center = coord
@@ -186,6 +193,9 @@ def refine_batch(
             wsize,
             angle_threshold1,
             luma=luma,
+            # candidates are repeat-contiguous per patch: group their
+            # window DMAs (pallas_ncc group mode)
+            group=n_cands if group_dma else 1,
         ).reshape(B, n_cands)
         kbest = jnp.argmin(costs, axis=1)
         cbest = jnp.take_along_axis(costs, kbest[:, None], axis=1)[:, 0]

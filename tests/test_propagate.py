@@ -58,6 +58,36 @@ def test_select_donors(sp):
         assert refs[pidx[i]] == img[i]
 
 
+def test_select_donors_cell_first_covers_cells(sp):
+    """The cell_first policy must exhaust every cell's slot-0 donor
+    before admitting any cell's slot-1 donor (per-cell coverage, the
+    array analog of reference propagate.cpp:88-121 donating from every
+    cell per sweep)."""
+    scene, table = sp
+    p = make_params()
+    grid = gr.build_grid(scene, table, LEVEL, CSIZE, p.cell_capacity)
+    slots = np.asarray(grid.slots)
+    refs = np.asarray(table.images)[:, 0]
+    alive = np.asarray(table.alive)
+    n, gh, gw, S = slots.shape
+    imgax = np.arange(n)[:, None, None, None]
+    okg = (slots >= 0) & (refs[np.maximum(slots, 0)] == imgax)
+    okg &= alive[np.maximum(slots, 0)]
+    n_rank0 = int(okg[..., 0].sum())
+    budget = max(8, n_rank0 // 2)  # force rationing
+    pidx, img, cy, cx, ok = pr.select_donors(
+        scene, grid, table, budget, policy="cell_first"
+    )
+    ok = np.asarray(ok)
+    assert ok.sum() == budget  # enough rank-0 donors exist
+    # every selected donor is its cell's slot-0 occupant
+    s0 = slots[np.asarray(img), np.asarray(cy), np.asarray(cx), 0]
+    np.testing.assert_array_equal(s0[ok], np.asarray(pidx)[ok])
+    # and no cell is selected twice while rank-0 donors are rationed
+    cells = np.stack([np.asarray(img), np.asarray(cy), np.asarray(cx)], 1)[ok]
+    assert len(np.unique(cells, axis=0)) == ok.sum()
+
+
 def test_generate_hypotheses_depth_transfer(sp):
     """A hypothesis inherits the donor's optical-axis depth in the ref
     view (reference propagate.cpp:224-226) — on a fronto-parallel-ish

@@ -57,18 +57,36 @@ def main():
     args = jax.device_put((idx, new_level, tl, dx2, dy2))
 
     ablate = os.environ.get("ABLATE", "")
+    # GROUP=K: time the grouped tile-reuse mode on a K-member candidate
+    # layout (each base window repeated K times with a ~±2 px jitter on
+    # the lattice origin — the refine-round shape)
+    group = int(os.environ.get("GROUP", "1"))
+    if group > 1:
+        Bg = B // group
+        rj = np.random.default_rng(1)
+        jx = rj.uniform(-2, 2, (Bg, group, 2)).astype(np.float32)
+        jx[:, 0] = 0.0
+        idx = jnp.repeat(idx[:Bg], group)
+        new_level = jnp.repeat(new_level[:Bg], group)
+        tl = (np.asarray(tl[:Bg])[:, None, :] + jx).reshape(B, 2)
+        tl = jnp.asarray(tl)
+        dx2 = jnp.repeat(dx2[:Bg], group, axis=0)
+        dy2 = jnp.repeat(dy2[:Bg], group, axis=0)
+        args = jax.device_put((idx, new_level, tl, dx2, dy2))
+        print(f"grouped layout: {Bg} groups x {group}", file=sys.stderr)
 
     @jax.jit
     def run_pallas(levels, idx, lvl, tl, dx, dy):
         out, _fit = pk.sample_windows(
-            levels, idx, lvl, tl, dx, dy, ablate=ablate
+            levels, idx, lvl, tl, dx, dy, ablate=ablate, group=group
         )
         return jnp.sum(out * out)  # tiny pull
 
     @jax.jit
     def run_pallas_rgb(levels, idx, lvl, tl, dx, dy):
         out, _fit = pk.sample_windows(
-            levels, idx, lvl, tl, dx, dy, rgb=True, ablate=ablate
+            levels, idx, lvl, tl, dx, dy, rgb=True, ablate=ablate,
+            group=group,
         )
         return jnp.sum(out * out)
 

@@ -36,6 +36,7 @@ def main() -> int:
     ap.add_argument("--max-patches", type=int, default=1 << 18)
     ap.add_argument("--budgets", default="4096,16384,65536")
     ap.add_argument("--rounds", default="4,8")
+    ap.add_argument("--policies", default="cell_first,ncc")
     ap.add_argument("--iterations", type=int, default=1)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -74,13 +75,15 @@ def main() -> int:
 
     scene = None
     runs = []
-    for budget in [int(b) for b in args.budgets.split(",")]:
+    for policy in args.policies.split(","):
+      for budget in [int(b) for b in args.budgets.split(",")]:
         for rounds in [int(r) for r in args.rounds.split(",")]:
             cfg = MVSConfig.from_option_file(args.prefix, "option")
             cfg.n_iterations = args.iterations
             cfg.max_patches = args.max_patches
             cfg.donor_budget = budget
             cfg.prop_rounds = rounds
+            cfg.donor_policy = policy
             t0 = time.time()
             engine = PMMVS(
                 cfg, scene=scene,
@@ -91,8 +94,11 @@ def main() -> int:
             engine.run(write_snapshots=False)
             dt = time.time() - t0
             cloud = engine.collect()["coord"][:, :3]
-            m = metrics.accuracy_completeness(cloud, gt, threshold=0.05)
+            m = metrics.accuracy_completeness(
+                cloud, gt, threshold=0.05, crop_to_gt_bbox=True
+            )
             rec = {
+                "donor_policy": policy,
                 "donor_budget": budget,
                 "prop_rounds": rounds,
                 "iterations": args.iterations,

@@ -49,12 +49,21 @@ def main() -> int:
     LEVEL, WSIZE = 1, 7
     A1 = float(np.deg2rad(60.0))
 
+    K = 8  # grouped-mode group size
+    rng = np.random.default_rng(0)
     Ps, _, scene = synthetic.plane_scene(n_views=4, width=320, height=240)
-    coord, normal = synthetic.plane_points(Ps, B, extent=1.0)
-    coord = jnp.asarray(coord, jnp.float32)
-    normal = jnp.asarray(normal, jnp.float32)
+    # group-structured batch (the refine layout): B//K base points, K
+    # jittered members each, per-group-constant view
+    coord, normal = synthetic.plane_points(Ps, B // K, extent=1.0)
+    jit = rng.uniform(-1, 1, (B // K, K, 4)).astype(np.float32) * 0.004
+    jit[..., 3] = 0.0
+    jit[:, 0] = 0.0
+    coord = jnp.asarray(
+        (coord[:, None, :] + jit).reshape(B, 4), jnp.float32
+    )
+    normal = jnp.asarray(np.repeat(normal, K, axis=0), jnp.float32)
     idx = jnp.asarray(
-        np.random.default_rng(0).integers(0, 4, B), jnp.int32
+        np.repeat(rng.integers(0, 4, B // K), K), jnp.int32
     )
 
     px, py = cam.get_paxes(scene.cams, idx, coord, normal, LEVEL)
@@ -67,14 +76,16 @@ def main() -> int:
     args = jax.device_put((idx, new_level, tl, dx2, dy2))
 
     ok = True
-    for name, levels, rgb in (
-        ("luma", levels_luma, False),
-        ("rgb", levels_rgb, True),
+    for name, levels, rgb, group in (
+        ("luma", levels_luma, False, 1),
+        ("rgb", levels_rgb, True, 1),
+        ("rgb-grouped", levels_rgb, True, 8),
     ):
         t0 = time.time()
         fn = jax.jit(
-            lambda lv, i, l, t, dx, dy, rgb=rgb: pk.sample_windows(
-                lv, i, l, t, dx, dy, wsize=WSIZE, rgb=rgb
+            lambda lv, i, l, t, dx, dy, rgb=rgb, group=group:
+            pk.sample_windows(
+                lv, i, l, t, dx, dy, wsize=WSIZE, rgb=rgb, group=group
             )
         )
         try:
@@ -88,8 +99,10 @@ def main() -> int:
             continue
         # interpret-mode oracle on the same inputs
         ref, _ = jax.jit(
-            lambda lv, i, l, t, dx, dy, rgb=rgb: pk.sample_windows(
-                lv, i, l, t, dx, dy, wsize=WSIZE, rgb=rgb, interpret=True
+            lambda lv, i, l, t, dx, dy, rgb=rgb, group=group:
+            pk.sample_windows(
+                lv, i, l, t, dx, dy, wsize=WSIZE, rgb=rgb, group=group,
+                interpret=True,
             )
         )(levels, *args)
         ref = np.asarray(ref)
