@@ -152,7 +152,7 @@ def enable_pallas(scene):
 
 def _make_kernel(
     n_levels: int, wsize: int, rgb: bool = False, ablate: str = "",
-    group: int = 1,
+    group: int = 1, fused: bool = False,
 ):
     """ablate: '' normal; 'nodma' skips the tile fetches (garbage out);
     'nocompute' fetches but stores a trivial function of the tile —
@@ -162,6 +162,10 @@ def _make_kernel(
     one DMA'd tile (and one rotate + RGB unpack): the tile-reuse scheme
     for refinement candidates of the same (patch, view), cutting DMA
     descriptors (the kernel's limiting resource) by the group factor.
+
+    fused (grouped only): evaluate the whole group with ONE MXU matmul
+    ([cw, K*spad] concatenated tent weights) and ONE K-row store
+    instead of K of each — fewer, larger ops on the compute path.
     """
     tile_h, tile_w, spad = _tile_dims(wsize, group)
     n_grp = W_BLK // group  # groups (= DMAs) per program
@@ -278,6 +282,56 @@ def _make_kernel(
                 jnp.int32, (tile_h, spad), 0
             ).astype(jnp.float32)
 
+            nchan = 3 if rgb else 1
+            if fused and group > 1:
+                # FUSED group evaluation: one MXU matmul and one store
+                # serve all K member windows. wx blocks concatenate
+                # along lanes ([cw, K*spad]); the per-window wy
+                # reduction and output rows assemble as K-row blocks.
+                sx = sx_ref[pl.ds(g * group, group), :]  # [K, spad]
+                sy = sy_ref[pl.ds(g * group, group), :]
+                sx = jnp.clip(sx, 0.0, float(cw - 1))
+                sy = jnp.clip(sy, 0.0, float(tile_h - 1))
+                wxs = [
+                    jnp.maximum(
+                        0.0, 1.0 - jnp.abs(cidx - sx[k : k + 1])
+                    )
+                    for k in range(group)
+                ]
+                tmp = jax.lax.dot_general(
+                    planes,
+                    jnp.concatenate(wxs, axis=1),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [C*tile_h, K*spad]
+                rows = []
+                for k in range(group):
+                    wy = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(ridx - sy[k : k + 1])
+                    )
+                    chans = [
+                        jnp.sum(
+                            wy
+                            * tmp[
+                                c * tile_h : (c + 1) * tile_h,
+                                k * spad : (k + 1) * spad,
+                            ],
+                            axis=0,
+                            keepdims=True,
+                        )
+                        for c in range(nchan)
+                    ]
+                    rows.append(jnp.concatenate(chans, axis=1))
+                out_ref[pl.ds(g * group, group), :] = jnp.concatenate(
+                    rows, axis=0
+                )
+
+                @pl.when(g + NBUF < n_grp)
+                def _():
+                    start_dma(g + NBUF, slot)
+
+                return 0
+
             for k in range(group):
                 j = g * group + k if group > 1 else g
                 # sample coords inside the compact tile; samples live
@@ -314,7 +368,6 @@ def _make_kernel(
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # [C*tile_h, spad]
-                nchan = 3 if rgb else 1
                 chans = [
                     jnp.sum(
                         wy * tmp[c * tile_h : (c + 1) * tile_h],
@@ -356,6 +409,7 @@ def sample_windows(
     interpret: bool = False,
     ablate: str = "",
     group: int = 1,
+    fused: bool = False,
 ):
     """Fused sample+normalize for a window batch.
 
@@ -553,7 +607,7 @@ def sample_windows(
         ],
     )
     call = pl.pallas_call(
-        _make_kernel(n_levels, wsize, rgb, ablate, group),
+        _make_kernel(n_levels, wsize, rgb, ablate, group, fused),
         out_shape=jax.ShapeDtypeStruct((CH, nchan * spad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -45,3 +45,25 @@ def test_pairwise_view_distances():
     assert np.allclose(np.diag(d), np.maximum(0, 1 - 1 - np.cos(np.deg2rad(10))) )
     # symmetric in center-distance part, farther views bigger
     assert d[0, 3] > d[0, 1] * 0.5
+
+
+def test_accuracy_crop_to_gt_bbox():
+    """crop_to_gt_bbox evaluates accuracy only inside the GT volume
+    (the DTU observation-crop convention): on-surface points beyond
+    the sampled GT extent must not count as inaccurate."""
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(-1, 1, (500, 3))
+    inside = gt[:250] + 1e-4
+    outside = inside.copy()
+    outside[:, 0] += 10.0  # far outside the GT bbox
+    cloud = np.concatenate([inside, outside])
+    m = metrics.accuracy_completeness(cloud, gt, threshold=0.05)
+    assert m["acc_frac"] <= 0.5  # uncropped: half the cloud "inaccurate"
+    mc = metrics.accuracy_completeness(
+        cloud, gt, threshold=0.05, crop_to_gt_bbox=True
+    )
+    assert mc["acc_frac"] == 1.0
+    assert mc["n_cloud_in_gt_bbox"] == 250
+    assert mc["n_cloud"] == 500
+    # completeness unaffected by the crop
+    assert mc["comp_frac"] == m["comp_frac"]

@@ -61,6 +61,7 @@ def main():
     # layout (each base window repeated K times with a ~±2 px jitter on
     # the lattice origin — the refine-round shape)
     group = int(os.environ.get("GROUP", "1"))
+    fused = os.environ.get("FUSED", "") == "1"
     if group > 1:
         Bg = B // group
         rj = np.random.default_rng(1)
@@ -78,7 +79,8 @@ def main():
     @jax.jit
     def run_pallas(levels, idx, lvl, tl, dx, dy):
         out, _fit = pk.sample_windows(
-            levels, idx, lvl, tl, dx, dy, ablate=ablate, group=group
+            levels, idx, lvl, tl, dx, dy, ablate=ablate, group=group,
+            fused=fused,
         )
         return jnp.sum(out * out)  # tiny pull
 
@@ -86,7 +88,7 @@ def main():
     def run_pallas_rgb(levels, idx, lvl, tl, dx, dy):
         out, _fit = pk.sample_windows(
             levels, idx, lvl, tl, dx, dy, rgb=True, ablate=ablate,
-            group=group,
+            group=group, fused=fused,
         )
         return jnp.sum(out * out)
 
