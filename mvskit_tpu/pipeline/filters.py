@@ -437,25 +437,49 @@ def gather_neighbors_batch(
         cands.append(c1.reshape(B, -1))
         cands.append(c2.reshape(B, -1))
     cand = jnp.concatenate(cands, axis=1)  # [B, Kc]
+    Kc = cand.shape[1]
 
-    cidx = jnp.maximum(cand, 0)
-    ok = (cand >= 0) & table.alive[cidx] & (cidx != self_rows[:, None])
+    # Compact + dedup FIRST, then test. ~85% of the Kc slot columns
+    # are empty at production occupancy (~1.1 patches/cell) and each
+    # real neighbor repeats once per (image x overlapping cell), so
+    # running the geometric test on all Kc columns wastes ~6x table-
+    # gather volume — measured 2.35 s per 4096-hypothesis chunk, 99%
+    # of the depth>=2 in-gauntlet check (PERF.md round-3 breakdown).
+    # The test depends only on the candidate's table row, so dedup
+    # before/after it is equivalence-preserving. cand_cap bounds the
+    # DISTINCT candidates tested; >cap distinct patches inside a
+    # 25-cell neighborhood cannot happen at sane cell capacities
+    # (25 cells x capacity x 2 grids all-distinct is the only way).
+    cand_cap = min(1024, Kc)
+    vals = jnp.where(cand >= 0, cand, N)
+    svals = jnp.sort(vals, axis=1)
+    uniq = jnp.concatenate(
+        [jnp.ones((B, 1), bool), svals[:, 1:] != svals[:, :-1]], axis=1
+    ) & (svals < N)
+    # scatter-compact the unique ids to the front (rank = their index)
+    rank = jnp.cumsum(uniq, axis=1) - 1
+    rows = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, Kc)
+    )
+    dest = jnp.where(uniq & (rank < cand_cap), rank, cand_cap)
+    ucand = (
+        jnp.full((B, cand_cap + 1), N, jnp.int32)
+        .at[rows, dest]
+        .set(svals)[:, :cand_cap]
+    )
+
+    cidx = jnp.minimum(ucand, N - 1)
+    ok = (ucand < N) & table.alive[cidx] & (cidx != self_rows[:, None])
     nb = _is_neighbor_vs_table(
         scene, table, coord, normal, dscale, cidx,
         hunit[:, None], neighbor_threshold * scale, radius[:, None],
     )
     ok &= nb
 
-    # dedup: sort, mask repeats, resort, take first K
-    vals = jnp.where(ok, cidx, N)
-    svals = jnp.sort(vals, axis=1)
-    uniq = jnp.concatenate(
-        [jnp.ones((B, 1), bool), svals[:, 1:] != svals[:, :-1]], axis=1
-    ) & (svals < N)
-    count = jnp.sum(uniq, axis=1)
-    svals = jnp.where(uniq, svals, N)
-    svals = jnp.sort(svals, axis=1)[:, :max_neighbors]
-    nbrs = jnp.where(svals < N, svals, -1).astype(jnp.int32)
+    count = jnp.sum(ok, axis=1)
+    vals2 = jnp.where(ok, cidx, N)  # already distinct per row
+    sv2 = jnp.sort(vals2, axis=1)[:, :max_neighbors]
+    nbrs = jnp.where(sv2 < N, sv2, -1).astype(jnp.int32)
     return nbrs, count
 
 

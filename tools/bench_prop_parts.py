@@ -198,6 +198,48 @@ def main() -> int:
         ),
         scene, grid, table, refined.coord, refined.normal, pre.images,
     )
+    # depth>=2 in-gauntlet check pieces (the measured 4.3x round cost)
+    from mvskit_tpu.pipeline import filters as fl
+
+    no_rows = jnp.full((C,), -1, jnp.int32)
+    vimg = jnp.full_like(ci, -1)
+    timed(
+        "check:gain(4k)",
+        lambda sc, g, t, c, n: fl.gain_batch(
+            sc, g, t, c, n, pre.dscale, refined.ncc, pre.images, vimg,
+            no_rows, p.level, p.csize, thr, p.neighbor_threshold1,
+        ),
+        scene, grid, table, refined.coord, refined.normal,
+    )
+    nbrs = timed(
+        "check:neighbors(4k)",
+        lambda sc, g, t, c, n: fl.gather_neighbors_batch(
+            sc, g, t, c, n, pre.dscale, pre.images, no_rows,
+            p.level, p.csize, margin=2, scale=4.0,
+            neighbor_threshold=p.neighbor_threshold,
+            max_neighbors=p.neighbor_capacity,
+        )[0],
+        scene, grid, table, refined.coord, refined.normal,
+    )
+    timed(
+        "check:quad(4k)",
+        lambda sc, t, c, n, nb: fl.quad_residuals_batch(
+            sc, t, c, n, pre.images, nb, p.level, p.tau
+        ),
+        scene, table, refined.coord, refined.normal, nbrs,
+    )
+    timed(
+        "check:total(4k)",
+        lambda sc, g, t, c, n: fl.check_batch(
+            sc, g, t, c, n, pre.dscale, refined.ncc, pre.images, vimg,
+            level=p.level, csize=p.csize, tau=p.tau,
+            ncc_threshold=thr, quad_threshold=jnp.float32(2.5),
+            neighbor_threshold=p.neighbor_threshold,
+            neighbor_threshold1=p.neighbor_threshold1,
+            max_neighbors=p.neighbor_capacity,
+        ),
+        scene, grid, table, refined.coord, refined.normal,
+    )
     timed(
         "gauntlet(4k,total)",
         lambda sc, g, t, c, n, im, o, k: pr.run_gauntlet(
