@@ -246,6 +246,7 @@ def scene_from_arrays(
     masks: Optional[Sequence[Optional[np.ndarray]]] = None,
     max_level: int = 4,
     cams: Optional[CameraSet] = None,
+    pallas_levels: bool = False,
 ) -> Scene:
     """Build a Scene from in-memory arrays.
 
@@ -319,6 +320,17 @@ def scene_from_arrays(
             | (lv[..., yp, :][..., :, xp] << 24)
         )
         lq[..., o : o + wl * hl] = q.reshape(n, n_illums, -1)
+    luma_levels = rgb_levels = None
+    if pallas_levels:
+        # build the Pallas kernel operand planes HOST-SIDE and transfer
+        # each exactly once: deriving them on device (enable_pallas)
+        # costs one remote compile + dispatch per eager op on axon —
+        # measured ~650 s of E2E init at dinoSparseRing scale
+        from ..ops import pallas_ncc as _pk
+
+        lnp, rnp = _pk.levels_np(offsets, ws, hs, max_level, planes, packed)
+        luma_levels = tuple(jnp.asarray(a) for a in lnp)
+        rgb_levels = tuple(jnp.asarray(a) for a in rnp)
     return Scene(
         planes=jnp.asarray(planes),
         masks=None if mask_arr is None else jnp.asarray(mask_arr),
@@ -328,6 +340,8 @@ def scene_from_arrays(
         lvl_offsets=jnp.asarray(offsets, dtype=jnp.int32),
         lvl_widths=jnp.asarray(ws, dtype=jnp.int32),
         lvl_heights=jnp.asarray(hs, dtype=jnp.int32),
+        planes_luma_levels=luma_levels,
+        planes_rgb_levels=rgb_levels,
         widths=ws,
         heights=hs,
         offsets=offsets,
@@ -369,7 +383,7 @@ def load_visdata(path: str, image_ids: Sequence[int]) -> Optional[np.ndarray]:
     return covis
 
 
-def load_scene(prefix: str, image_ids: Sequence[int], nillums: int, max_level: int, use_vis_data: bool = False) -> Scene:
+def load_scene(prefix: str, image_ids: Sequence[int], nillums: int, max_level: int, use_vis_data: bool = False, pallas_levels: bool = False) -> Scene:
     """Load a scene from the reference dataset directory contract
     (reference photoSet.cpp:20-61):
 
@@ -404,6 +418,7 @@ def load_scene(prefix: str, image_ids: Sequence[int], nillums: int, max_level: i
         masks=masks,
         max_level=max_level,
         cams=cams,
+        pallas_levels=pallas_levels,
     )
     if use_vis_data:
         covis = load_visdata(os.path.join(prefix, "vis.dat"), image_ids)

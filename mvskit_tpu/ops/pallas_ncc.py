@@ -82,13 +82,17 @@ def _split_pad_levels(scene, flat) -> Tuple[jnp.ndarray, ...]:
     planes padded so aligned DMA slices stay in bounds: height to
     >= tile_h (8-multiple), width to >= tile_w (128-multiple). The
     border-safety margins of window_geometry keep real samples inside
-    the true extent; padding is never sampled."""
+    the true extent; padding is never sampled.
+
+    Works on either jnp or np input (np input pads host-side — the
+    zero-dispatch scene-construction path)."""
     tile_h, tile_w, _ = _tile_dims(7)
     # pad for the LARGEST tile any kernel mode DMAs (grouped tiles are
     # taller than single-window ones) so every aligned slice stays in
     # bounds regardless of the group size used at call time
     gh, gw, _ = _tile_dims(7, group=2)
     tile_h, tile_w = max(tile_h, gh), max(tile_w, gw)
+    xp = np if isinstance(flat, np.ndarray) else jnp
     out = []
     n = flat.shape[0]
     for l in range(scene.max_level):
@@ -97,9 +101,42 @@ def _split_pad_levels(scene, flat) -> Tuple[jnp.ndarray, ...]:
         hp = _round_up(max(hl, tile_h), 8)
         wp = _round_up(max(wl, tile_w), 128)
         if hp != hl or wp != wl:
-            plane = jnp.pad(plane, ((0, 0), (0, hp - hl), (0, wp - wl)))
+            plane = xp.pad(plane, ((0, 0), (0, hp - hl), (0, wp - wl)))
         out.append(plane)
     return tuple(out)
+
+
+def levels_np(offsets, widths, heights, max_level, planes_np, packed_np):
+    """Host-side (numpy) construction of BOTH kernel operand sets from
+    the flat float planes [n, I, total, 3] and packed-RGB [n, I, total]
+    buffers. Returns (luma_levels, rgb_levels) as numpy tuples — the
+    caller transfers each exactly once. On axon, doing this on device
+    costs one remote compile + ~0.5 s dispatch per eager op; host-side
+    it is free (reference image.cpp:309-353 builds pyramids host-side
+    too)."""
+    meta = _SceneMeta(offsets, widths, heights, max_level)
+    n, ni, total, _ = planes_np.shape
+    luma = np.clip(np.round(
+        0.299 * planes_np[..., 0]
+        + 0.587 * planes_np[..., 1]
+        + 0.114 * planes_np[..., 2]
+    ), 0, 255).astype(np.float32).reshape(n * ni, total)
+    luma_levels = _split_pad_levels(meta, luma)
+    rgb_levels = _split_pad_levels(
+        meta, np.ascontiguousarray(packed_np.reshape(n * ni, total))
+    )
+    return luma_levels, rgb_levels
+
+
+class _SceneMeta:
+    """Duck-typed stand-in carrying just the static level metadata
+    _split_pad_levels needs."""
+
+    def __init__(self, offsets, widths, heights, max_level):
+        self.offsets = tuple(offsets)
+        self.widths = tuple(widths)
+        self.heights = tuple(heights)
+        self.max_level = int(max_level)
 
 
 def luma_levels_from_scene(scene) -> Tuple[jnp.ndarray, ...]:

@@ -71,14 +71,19 @@ class PMMVS:
                  log=print, view_mesh=None):
         self.cfg = cfg
         self.log = log
-        self.scene = scene if scene is not None else load_scene(
-            cfg.prefix, cfg.images, cfg.nillums, cfg.max_level,
-            use_vis_data=bool(cfg.use_vis_data),
-        )
         # route NCC window sampling through the Pallas tile-DMA kernel
         # (ops/pallas_ncc): ~20x the gather path on a v5e. Off-TPU the
         # kernel only runs interpreted — keep the gather path there.
-        if cfg.use_pallas and jax.default_backend() == "tpu":
+        # The kernel's per-level operand planes are built HOST-SIDE at
+        # load (pallas_levels=True): deriving them on device after the
+        # fact costs a remote compile + ~0.5 s dispatch per eager op.
+        want_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+        self.scene = scene if scene is not None else load_scene(
+            cfg.prefix, cfg.images, cfg.nillums, cfg.max_level,
+            use_vis_data=bool(cfg.use_vis_data),
+            pallas_levels=want_pallas,
+        )
+        if want_pallas and self.scene.planes_rgb_levels is None:
             from ..ops import pallas_ncc as _pk
 
             self.scene = _pk.enable_pallas(self.scene)

@@ -140,3 +140,23 @@ def test_texs_for_views_pallas_rgb_matches_jnp():
     )
     w = jnp.ones((B, 3), jnp.float32)
     _check_aggregation(tex_ref, tex_pal, both, w)
+
+
+def test_host_built_levels_match_device_path():
+    """scene_from_arrays(pallas_levels=True) builds the kernel operand
+    planes host-side (numpy) — must be bit-identical to enable_pallas's
+    on-device derivation (the path it replaces for init speed)."""
+    from mvskit_tpu.image import scene as sc
+
+    rng = np.random.default_rng(3)
+    n, H, W = 3, 64, 96
+    imgs = [rng.integers(0, 256, (H, W, 3), dtype=np.uint8) for _ in range(n)]
+    Ps = np.tile(np.eye(3, 4), (n, 1, 1)) + 0.01 * rng.standard_normal((n, 3, 4))
+    s_host = sc.scene_from_arrays(Ps, imgs, max_level=3, pallas_levels=True)
+    s_dev = pk.enable_pallas(sc.scene_from_arrays(Ps, imgs, max_level=3))
+    for a, b in zip(s_host.planes_luma_levels, s_dev.planes_luma_levels):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(s_host.planes_rgb_levels, s_dev.planes_rgb_levels):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        assert np.array_equal(np.asarray(a), np.asarray(b))
