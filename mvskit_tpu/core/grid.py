@@ -120,21 +120,22 @@ def _fill_slots(
         jnp.arange(N, dtype=jnp.int32)[:, None], (N, M)
     ).reshape(-1)
 
-    # stable two-key sort: ncc descending, then cell key ascending
-    order1 = jnp.argsort(-flat_ncc, stable=True)
-    k1 = flat_key[order1]
-    order2 = jnp.argsort(k1, stable=True)
-    order = order1[order2]
-    skey = flat_key[order]
-    spidx = flat_pidx[order]
+    # ONE lexicographic sort (cell key asc, then ncc desc) with the
+    # patch index as payload — replaces two chained stable argsorts +
+    # two gathers (each argsort is itself a full sort), halving the
+    # grid build's sort work (reference bubble-sorts per cell,
+    # patch_manager.cpp:223-239)
+    from jax import lax
+
+    skey, _, spidx = lax.sort(
+        (flat_key, -flat_ncc, flat_pidx), num_keys=2, is_stable=True
+    )
 
     # rank within each equal-key segment
     pos = jnp.arange(skey.shape[0])
     is_start = jnp.concatenate(
         [jnp.asarray([True]), skey[1:] != skey[:-1]]
     )
-    from jax import lax
-
     seg_start = lax.cummax(jnp.where(is_start, pos, 0))
     rank = (pos - seg_start).astype(jnp.int32)
 
@@ -183,9 +184,8 @@ def build_depth_maps(
     base_valid = pvalid & table.alive[:, None]
 
     ncells = n * row_count * gw
-    dgrid = jnp.full((ncells + 1,), INF)
     quads = ((x0, y0), (x1, y0), (x0, y1), (x1, y1))
-    dests = []
+    dest_l, ok_l = [], []
     for qx, qy in quads:
         qyl = qy - row_start
         ok = (
@@ -193,23 +193,29 @@ def build_depth_maps(
             & (qy >= 0) & (qy < gh)
             & (qyl >= 0) & (qyl < row_count)
         )
-        dest = jnp.where(
+        dest_l.append(jnp.where(
             ok, (ids[None, :] * row_count + qyl) * gw + qx, ncells
-        )
-        dests.append((dest, ok))
-        dgrid = dgrid.at[dest.reshape(-1)].min(
-            jnp.where(ok, depth, INF).reshape(-1)
-        )
+        ))
+        ok_l.append(ok)
+    # the 4 quad corners scatter as ONE batched scatter-min / -max pass
+    # each (instead of 4 sequential scatters): same result (min/max are
+    # order-free), one dispatchable op per pass
+    dest4 = jnp.stack(dest_l).reshape(-1)       # [4*N*n]
+    ok4 = jnp.stack(ok_l)                        # [4, N, n]
+    depth4 = jnp.broadcast_to(depth, (4, N, n))
+    dgrid = jnp.full((ncells + 1,), INF)
+    dgrid = dgrid.at[dest4].min(
+        jnp.where(ok4, depth4, INF).reshape(-1)
+    )
 
     igrid = jnp.full((ncells + 1,), -1, jnp.int32)
-    pidx = jnp.broadcast_to(
+    pidx4 = jnp.broadcast_to(
         jnp.arange(N, dtype=jnp.int32)[:, None], (N, n)
+    )[None]
+    win = ok4 & (depth4 <= dgrid[dest4].reshape(4, N, n))
+    igrid = igrid.at[dest4].max(
+        jnp.where(win, pidx4, -1).reshape(-1)
     )
-    for dest, ok in dests:
-        win = ok & (depth <= dgrid[dest])
-        igrid = igrid.at[dest.reshape(-1)].max(
-            jnp.where(win, pidx, -1).reshape(-1)
-        )
     return (
         dgrid[:-1].reshape(n, row_count, gw),
         igrid[:-1].reshape(n, row_count, gw),
