@@ -90,7 +90,9 @@ def main() -> int:
 
     def run():
         g = jf(scene, table, cfg.level, cfg.csize, cfg.max_patches_per_cell)
-        return np.asarray(jnp.sum(g.slots))
+        # checksum: count occupied slots (a raw int32 index sum can wrap
+        # int32 at production capacity and print garbage)
+        return np.asarray(jnp.sum(g.slots >= 0))
 
     t0 = time.time()
     chk = run()
