@@ -6,6 +6,11 @@ Prints ONE JSON line:
 A "sample" is one bilinear RGB texture fetch inside the NCC objective —
 the unit of work that dominates the reference's runtime (SURVEY.md
 §3.3: one refinement is up to 500 evals x tau views x wsize^2 fetches).
+With the shipped luma_refine default the candidate search fetches
+luminance instead of RGB (same evals, same refined geometry —
+tests/test_refine.py::test_luma_refine_matches_rgb), so the metric
+counts REFERENCE-EQUIVALENT samples: the RGB fetches the C++ reference
+needs for the same number of cost evaluations.
 The benchmark times the jitted refine_batch (the batched replacement
 for Optim::refinePatch, reference pmmvps/optim.cpp:470-547) on a
 dinoSparseRing-scale synthetic scene (16 views, 640x480).
@@ -61,9 +66,20 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from mvskit_tpu.config import MVSConfig
     from mvskit_tpu.pipeline import refine as rf
     from mvskit_tpu.pipeline import views as vw
     from mvskit_tpu.utils.synthetic import plane_points, plane_scene
+
+    # measure the SHIPPED refinement path: luma_refine / group_dma come
+    # from the config defaults (candidate search in luminance, final
+    # pose re-scored in RGB — config.py, pipeline/refine.py). Override
+    # with BENCH_LUMA=0 to measure the RGB-search path.
+    defaults = MVSConfig()
+    luma = (
+        os.environ.get("BENCH_LUMA", "1" if defaults.luma_refine else "0")
+        == "1"
+    )
 
     # dinoSparseRing-scale scene (16 views, 640x480, level 1)
     n_views, w, h = 16, 640, 480
@@ -118,6 +134,7 @@ def main() -> None:
                 angle_threshold1=a1, ascale=math.pi / 48.0,
                 rounds=rounds, n_cands=cands, shrink=0.98,
                 init_depth_radius=4.0, init_angle_radius=8.0,
+                luma=luma, group_dma=defaults.refine_group_dma,
             )
             return res.ncc
 

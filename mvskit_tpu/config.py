@@ -66,11 +66,28 @@ class MVSConfig:
                                              # across a round's n_cands
     refine_grad_steps: int = 0               # differentiable polish steps
     refine_grad_lr: float = 0.5
-    luma_refine: bool = False                # luminance-NCC inside refinement
-                                             # (1 fetch/sample fast path)
+    luma_refine: bool = True                 # luminance-NCC inside the
+                                             # candidate search (1 fetch/sample
+                                             # fast path, ~2.2x the RGB kernel);
+                                             # the FINAL pose is always
+                                             # re-scored in RGB with the frozen
+                                             # weights (pipeline/refine.py) and
+                                             # postProcess gates on RGB too, so
+                                             # only the argmin selection inside
+                                             # the search sees luminance.
+                                             # Quality parity:
+                                             # tests/test_refine.py::
+                                             # test_luma_refine_matches_rgb
 
     # ---- propagation (reference propagate.cpp:24-25) ----
     max_num_of_propag: int = 2
+
+    # ---- multi-illumination ----
+    # When the dataset declares illum > 1, score NCC (gauntlet + refine
+    # objective) as the average over illuminations — the live wiring of
+    # the reference's dormant multi-illum getTex (optim.cpp:846-893).
+    # Off = reference live-path behavior (everything samples illum 0).
+    use_illums: bool = True
 
     # ---- TPU-native knobs ----
     use_pallas: bool = True                  # tile-DMA sampling kernel for
@@ -87,6 +104,12 @@ class MVSConfig:
     max_patches: int = 1 << 18               # flat patch-table capacity
     neighbor_capacity: int = 48              # max neighbors gathered per patch
                                              # (findNeighbors cap; DIVERGENCES A7)
+    neighbor_cand_cap: int = 384             # distinct candidates tested per
+                                             # patch in findNeighbors (the
+                                             # 25-cell x 2-grid neighborhood
+                                             # holds ~100 distinct patches at
+                                             # production occupancy; the test
+                                             # cost is linear in this cap)
     small_group_iters: int = 32              # label-propagation iterations
                                              # (filterSmallGroups pointer-jumping)
 

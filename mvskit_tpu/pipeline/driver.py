@@ -83,7 +83,10 @@ class PMMVS:
             use_vis_data=bool(cfg.use_vis_data),
             pallas_levels=want_pallas,
         )
-        if want_pallas and self.scene.planes_rgb_levels is None:
+        if want_pallas and (
+            self.scene.planes_rgb_levels is None
+            or self.scene.planes_luma_levels is None
+        ):
             from ..ops import pallas_ncc as _pk
 
             self.scene = _pk.enable_pallas(self.scene)
@@ -155,6 +158,7 @@ class PMMVS:
                 tau=cfg.tau,
                 neighbor_threshold=cfg.neighbor_threshold,
                 max_neighbors=cfg.neighbor_capacity,
+                cand_cap=cfg.neighbor_cand_cap,
             ),
             static_argnames=("row_count",),
         )
@@ -218,8 +222,10 @@ class PMMVS:
             grad_lr=cfg.refine_grad_lr,
             luma_refine=cfg.luma_refine,
             neighbor_capacity=cfg.neighbor_capacity,
+            neighbor_cand_cap=cfg.neighbor_cand_cap,
             group_dma=cfg.refine_group_dma,
             donor_policy=cfg.donor_policy,
+            n_illums=self.scene.n_illums if cfg.use_illums else 1,
         )
 
     def _next_key(self):

@@ -106,6 +106,49 @@ def test_refine_noop_at_truth(sp):
     assert np.median(z_after) < 0.03
 
 
+def test_luma_refine_matches_rgb(sp):
+    """luma_refine=True (the shipped default, config.py) searches
+    candidates by luminance NCC but re-scores the final pose in RGB;
+    its refined geometry must match the RGB-searched path on the
+    analytic plane. This is the accuracy side of the 2.2x-faster luma
+    kernel (PERF.md kernel microbenchmarks)."""
+    scene, coord, normal, images, dscale = sp
+    ok = np.asarray(images[:, 0]) >= 0
+    ref = jnp.maximum(images[:, 0], 0)
+    ray = coord - scene.cams.center[ref]
+    ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    start = coord + (3.0 * dscale)[:, None] * ray
+    tilt = jnp.asarray([[0.26, 0.0, 0.97, 0.0]], jnp.float32)
+    tilt = tilt / jnp.linalg.norm(tilt)
+    start_n = jnp.broadcast_to(tilt, normal.shape)
+
+    kw = dict(
+        level=LEVEL, wsize=WSIZE, tau=TAU, min_image_num=3,
+        angle_threshold1=A1, ascale=ASCALE,
+        rounds=24, n_cands=8, shrink=0.85,
+        init_depth_radius=4.0, init_angle_radius=8.0,
+    )
+    rgb = rf.refine_batch(
+        scene, start, start_n, images, dscale, jax.random.PRNGKey(0),
+        luma=False, **kw
+    )
+    lum = rf.refine_batch(
+        scene, start, start_n, images, dscale, jax.random.PRNGKey(0),
+        luma=True, **kw
+    )
+    z_rgb = np.abs(np.asarray(rgb.coord)[ok, 2])
+    z_lum = np.abs(np.asarray(lum.coord)[ok, 2])
+    # both paths land on the plane; luma's median plane error is within
+    # 2x of RGB's (both far under the acceptance scale of 0.05)
+    assert np.median(z_lum) < 0.03, z_lum
+    assert np.median(z_lum) < 2.0 * max(np.median(z_rgb), 5e-3)
+    # the FINAL score is RGB in both modes and must agree at the truth
+    n_rgb = np.asarray(rgb.ncc)[ok]
+    n_lum = np.asarray(lum.ncc)[ok]
+    assert np.median(n_lum) > 0.9
+    assert abs(np.median(n_lum) - np.median(n_rgb)) < 0.05
+
+
 def test_gradient_polish_improves(sp):
     """With gradient polish on, the final cost is never worse and
     typically better than random search alone at a tiny search budget."""
