@@ -431,6 +431,31 @@ def compute_weights(scene: Scene, views, coord, normal, level: int):
     return w.at[:, 0].set(1.0)
 
 
+def compute_patch_ncc_n(
+    scene: Scene,
+    views,
+    coord,
+    normal,
+    level: int,
+    wsize: int,
+    tau: int,
+    angle_threshold1: float,
+    n_illums: int = 1,
+):
+    """compute_patch_ncc dispatching on the (static) illumination count:
+    the gauntlet's scoring entry point when the config wires
+    multi-illumination through (config.use_illums; the reference's
+    multi-illum getTex at optim.cpp:846-893 re-expressed live)."""
+    if n_illums <= 1:
+        return compute_patch_ncc(
+            scene, views, coord, normal, level, wsize, tau,
+            angle_threshold1,
+        )
+    return compute_patch_ncc_illums(
+        scene, views, coord, normal, level, wsize, tau, angle_threshold1
+    )
+
+
 def compute_patch_ncc_illums(
     scene: Scene,
     views,

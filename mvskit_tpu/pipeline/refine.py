@@ -75,13 +75,20 @@ class RefineResult(NamedTuple):
 
 def _eval_cost(
     scene, views, coord, normal, minimum, level, wsize, angle_threshold1,
-    luma=False, group=1,
+    luma=False, group=1, n_illums=1,
 ):
-    tex, valid = nccops.texs_for_views(
-        scene, views, coord, normal, level, wsize, angle_threshold1,
-        luma=luma, group=group,
-    )
-    return nccops.incc_cost(tex, valid, minimum)
+    """cost_func (reference optim.cpp:401-468); with n_illums > 1 the
+    robust-INCC cost averages over the illumination axis (the live
+    wiring of the reference's dormant multi-illum getTex,
+    optim.cpp:846-893)."""
+    costs = []
+    for il in range(max(n_illums, 1)):
+        tex, valid = nccops.texs_for_views(
+            scene, views, coord, normal, level, wsize, angle_threshold1,
+            illum=il, luma=luma, group=group,
+        )
+        costs.append(nccops.incc_cost(tex, valid, minimum))
+    return sum(costs) / len(costs)
 
 
 def refine_batch(
@@ -107,6 +114,7 @@ def refine_batch(
     grad_lr: float = 0.5,
     luma: bool = False,
     group_dma: bool = True,
+    n_illums: int = 1,
 ) -> RefineResult:
     """Refine a batch of patches (reference Optim::refinePatch,
     optim.cpp:470-547). `images` is the fixed view list for the whole
@@ -146,7 +154,7 @@ def refine_batch(
         n = decode_normal(sc, ref, p[:, 1] * ascale, p[:, 2] * ascale)
         return _eval_cost(
             sc, views, c, n, minimum, level, wsize, angle_threshold1,
-            luma=luma,
+            luma=luma, n_illums=n_illums,
         )
 
     best_p = p0
@@ -193,6 +201,7 @@ def refine_batch(
             wsize,
             angle_threshold1,
             luma=luma,
+            n_illums=n_illums,
             # candidates are repeat-contiguous per patch: group their
             # window DMAs (pallas_ncc group mode)
             group=n_cands if group_dma else 1,
@@ -242,11 +251,16 @@ def refine_batch(
         scene, ref, best_p[:, 1] * ascale, best_p[:, 2] * ascale
     )
     # final score: weighted robust INCC at the refined pose with the
-    # frozen weights (reference optim.cpp:539)
-    tex, valid = nccops.texs_for_views(
-        scene, views, out_coord, out_normal, level, wsize, angle_threshold1
-    )
-    score = nccops.incc_weighted(tex, valid, weights, robust=True)
-    score = jnp.where(nimg < 2, 2.0, score)
+    # frozen weights (reference optim.cpp:539), RGB always, averaged
+    # over illuminations when multi-illum is wired through
+    scores = []
+    for il in range(max(n_illums, 1)):
+        tex, valid = nccops.texs_for_views(
+            scene, views, out_coord, out_normal, level, wsize,
+            angle_threshold1, illum=il,
+        )
+        s = nccops.incc_weighted(tex, valid, weights, robust=True)
+        scores.append(jnp.where(nimg < 2, 2.0, s))
+    score = sum(scores) / len(scores)
     out_ncc = 1.0 - nccops.unrobustincc(score)
     return RefineResult(out_coord, out_normal, out_ncc, best_c)

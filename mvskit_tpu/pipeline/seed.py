@@ -93,9 +93,10 @@ def finalize_seeds(
                     ascale=table.ascale.at[rows].set(asc),
                 )
             if need_ncc:
-                scores = nccops.compute_patch_ncc(
+                scores = nccops.compute_patch_ncc_n(
                     scene, im, c, nm, cfg.level, cfg.wsize, cfg.tau,
                     cfg.angle_threshold1,
+                    n_illums=scene.n_illums if cfg.use_illums else 1,
                 )
                 table = table._replace(ncc=table.ncc.at[rows].set(scores))
             alive = table.alive & (pt.count_valid(table.images) > 0)

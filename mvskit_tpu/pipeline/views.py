@@ -313,6 +313,7 @@ def post_process_core(
     ncc_threshold,
     angle_threshold0: float,
     angle_threshold1: float,
+    n_illums: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Optim::postProcess steps 1-8 (reference optim.cpp:260-287):
     count gate -> scene-mask gate -> addImages -> constraint ->
@@ -338,8 +339,9 @@ def post_process_core(
     )
     ok &= count_valid(images) >= min_image_num
 
-    score = nccops.compute_patch_ncc(
-        scene, images, coord, normal, level, wsize, tau, angle_threshold1
+    score = nccops.compute_patch_ncc_n(
+        scene, images, coord, normal, level, wsize, tau,
+        angle_threshold1, n_illums=n_illums,
     )
     images = jnp.where(ok[:, None], images, -1)
     return images, ok, score
