@@ -295,48 +295,49 @@ def tiled_propagate_round(
     tile-local grid build, exact merged donor selection, halo-exchanged
     full-cell gate, then the (batch-parallel) gauntlet on the
     re-assembled global grid. Observationally identical to the
-    unsharded `propagate_round` under the same key."""
-    stats = pr.RoundStats(
-        total=jnp.zeros((), jnp.int32),
-        fail0=jnp.zeros((), jnp.int32),
-        fail1=jnp.zeros((), jnp.int32),
-        passed=jnp.zeros((), jnp.int32),
+    unsharded `propagate_round` under the same key (one shared grid
+    build + donor set feeding BOTH spatial target directions, matching
+    pipeline/propagate.propagate_round's key-split structure)."""
+    key, k1a, k1b, k2 = jax.random.split(key, 4)
+    grid_t = tiled_build_grid(
+        mesh, scene, table, p.level, p.csize, p.cell_capacity,
+        axis=axis,
     )
-    for axis_sp in (0, 1):
-        key, k1, k2 = jax.random.split(key, 3)
-        grid_t = tiled_build_grid(
-            mesh, scene, table, p.level, p.csize, p.cell_capacity,
-            axis=axis,
-        )
-        table = table._replace(alive=table.alive & ~grid_t.evicted)
+    table = table._replace(alive=table.alive & ~grid_t.evicted)
 
-        donors = tiled_select_donors(
-            mesh, scene, grid_t, table, p.donor_budget, p.level, p.csize,
-            axis=axis, policy=p.donor_policy,
-        )
-        pidx, img, cy, cx, ok = donors
+    donors = tiled_select_donors(
+        mesh, scene, grid_t, table, p.donor_budget, p.level, p.csize,
+        axis=axis, policy=p.donor_policy,
+    )
+    pidx, img, cy, cx, ok0 = donors
+    grid = tiled_grid_to_global(scene, grid_t, p.level, p.csize)
+    parts = []
+    for axis_sp, k1 in ((0, k1a), (1, k1b)):
         gate_full, gate_worst = tiled_full_cell_gate(
             mesh, scene, grid_t, table, img, cy, cx, axis_sp, direction,
             p.level, p.csize, axis=axis,
         )
+        parts.append(
+            pr.generate_hypotheses(
+                scene, table, grid, pidx, img, cy, cx, ok0, axis_sp,
+                direction, k1, p,
+                gate_full=gate_full, gate_worst_ncc=gate_worst,
+            )
+        )
+    coord, normal, images, _, ok = (
+        jnp.concatenate([pt[i] for pt in parts]) for i in range(5)
+    )
 
-        grid = tiled_grid_to_global(scene, grid_t, p.level, p.csize)
-        coord, normal, images, ncc0, ok = pr.generate_hypotheses(
-            scene, table, grid, pidx, img, cy, cx, ok, axis_sp,
-            direction, k1, p,
-            gate_full=gate_full, gate_worst_ncc=gate_worst,
-        )
-
-        out = pr._gauntlet_chunked(
-            scene, grid, table, coord, normal, images, ok, k2, p,
-            ncc_threshold, ncc_threshold_before, use_depth,
-            quad_threshold,
-        )
-        table = pr.insert_patches(table, out)
-        stats = pr.RoundStats(
-            total=stats.total + jnp.sum(ok),
-            fail0=stats.fail0 + jnp.sum(out.fail0),
-            fail1=stats.fail1 + jnp.sum(out.fail1),
-            passed=stats.passed + jnp.sum(out.ok),
-        )
+    out = pr._gauntlet_chunked(
+        scene, grid, table, coord, normal, images, ok, k2, p,
+        ncc_threshold, ncc_threshold_before, use_depth,
+        quad_threshold,
+    )
+    table = pr.insert_patches(table, out)
+    stats = pr.RoundStats(
+        total=jnp.sum(ok),
+        fail0=jnp.sum(out.fail0),
+        fail1=jnp.sum(out.fail1),
+        passed=jnp.sum(out.ok),
+    )
     return table, stats

@@ -372,6 +372,7 @@ def gather_neighbors(
     scale: float,
     neighbor_threshold,
     max_neighbors: int,
+    cand_cap: int = 1024,
 ):
     """findNeighbors (reference patch_manager.cpp:671-728) for patch
     rows `rows` [B]: candidates from (2*margin+1)^2 cells around the
@@ -384,6 +385,7 @@ def gather_neighbors(
         table.coord[rows], table.normal[rows], table.dscale[rows],
         table.images[rows], rows,
         level, csize, margin, scale, neighbor_threshold, max_neighbors,
+        cand_cap,
     )
 
 
@@ -402,6 +404,7 @@ def gather_neighbors_batch(
     scale: float,
     neighbor_threshold,
     max_neighbors: int,
+    cand_cap: int = 1024,
 ):
     """findNeighbors for explicit self-patch attributes (the in-gauntlet
     check runs it on hypotheses not yet in the table)."""
@@ -447,10 +450,11 @@ def gather_neighbors_batch(
     # of the depth>=2 in-gauntlet check (PERF.md round-3 breakdown).
     # The test depends only on the candidate's table row, so dedup
     # before/after it is equivalence-preserving. cand_cap bounds the
-    # DISTINCT candidates tested; >cap distinct patches inside a
-    # 25-cell neighborhood cannot happen at sane cell capacities
-    # (25 cells x capacity x 2 grids all-distinct is the only way).
-    cand_cap = min(1024, Kc)
+    # DISTINCT candidates tested (config.neighbor_cand_cap): at
+    # production occupancy (~1.6 pairs/cell) the 25-cell x 2-grid
+    # neighborhood holds ~100 distinct patches, so a few hundred is
+    # ample; the post-cap test cost scales linearly with it.
+    cand_cap = min(cand_cap, Kc)
     vals = jnp.where(cand >= 0, cand, N)
     svals = jnp.sort(vals, axis=1)
     uniq = jnp.concatenate(
@@ -529,16 +533,28 @@ def quad_residuals_batch(
     xdir, ydir = _ortho(normal)
 
     nok = nbrs >= 0
-    ncoord = table.coord[jnp.maximum(nbrs, 0)]
-    diff = ncoord - coord[:, None, :]
-    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    nidx = jnp.maximum(nbrs, 0)
+    # channel-leading gather of the neighbor coordinates: the naive
+    # table.coord[nidx] form ends in a length-4 minor axis that pads
+    # 32x under (8, 128) tiling (same hazard as _is_neighbor_vs_table)
+    coord_t = table.coord.T  # [4, N]
+    d2 = 0.0
+    fxs = 0.0
+    fys = 0.0
+    fzs = 0.0
+    for c in range(4):
+        dc = coord_t[c][nidx] - coord[:, None, c]
+        d2 = d2 + dc * dc
+        fxs = fxs + dc * xdir[:, None, c]
+        fys = fys + dc * ydir[:, None, c]
+        fzs = fzs + dc * normal[:, None, c]
+    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
     cnt = jnp.maximum(jnp.sum(nok, axis=1), 1)
     h = jnp.sum(jnp.where(nok, dist, 0.0), axis=1) / cnt
     h = jnp.where(h == 0.0, 1.0, h)
 
-    fxs = jnp.sum(diff * xdir[:, None, :], axis=-1) / h[:, None]
-    fys = jnp.sum(diff * ydir[:, None, :], axis=-1) / h[:, None]
-    fzs = jnp.sum(diff * normal[:, None, :], axis=-1)
+    fxs = fxs / h[:, None]
+    fys = fys / h[:, None]
 
     A = jnp.stack([fxs * fxs, fys * fys, fxs * fys, fxs, fys], axis=-1)
     Aw = jnp.where(nok[..., None], A, 0.0)
@@ -577,6 +593,7 @@ def filter_neighbor_rows(
     neighbor_threshold,
     max_neighbors: int = 48,
     chunk: int = 1024,
+    cand_cap: int = 1024,
 ) -> Tuple[PatchTable, jnp.ndarray]:
     """filterNeighbor over rows [row_offset, row_offset+row_count) —
     the driver dispatches the table in segments because one program
@@ -592,7 +609,7 @@ def filter_neighbor_rows(
         nbrs, count = gather_neighbors(
             scene, grid, table, rows, level, csize,
             margin=2, scale=4.0, neighbor_threshold=neighbor_threshold,
-            max_neighbors=max_neighbors,
+            max_neighbors=max_neighbors, cand_cap=cand_cap,
         )
         resid, denom = quad_residuals(scene, table, rows, nbrs, level, tau)
         reject = (count < 6) | ((denom >= 1) & (resid >= quad_threshold))
@@ -616,13 +633,14 @@ def filter_neighbor(
     neighbor_threshold,
     max_neighbors: int = 48,
     chunk: int = 1024,
+    cand_cap: int = 1024,
 ) -> Tuple[PatchTable, jnp.ndarray]:
     """filterNeighbor (filter.cpp:265-327): fewer than 6 scene-space
     neighbors, or a too-large quadric residual, kills the patch."""
     return filter_neighbor_rows(
         scene, grid, table, jnp.int32(0), table.capacity,
         level, csize, tau, quad_threshold, neighbor_threshold,
-        max_neighbors, chunk,
+        max_neighbors, chunk, cand_cap,
     )
 
 
@@ -837,6 +855,7 @@ def check_batch(
     neighbor_threshold,
     neighbor_threshold1,
     max_neighbors: int = 48,
+    cand_cap: int = 1024,
 ):
     """Optim::check (reference optim.cpp:300-323), run on hypothesis
     batches during propagation once depth >= 2: reject when the
@@ -854,7 +873,7 @@ def check_batch(
         scene, grid, table, coord, normal, dscale, images, no_rows,
         level, csize, margin=2, scale=4.0,
         neighbor_threshold=neighbor_threshold,
-        max_neighbors=max_neighbors,
+        max_neighbors=max_neighbors, cand_cap=cand_cap,
     )
     resid, denom = quad_residuals_batch(
         scene, table, coord, normal, images, nbrs, level, tau

@@ -61,8 +61,15 @@ class PropagateParams(NamedTuple):
     grad_lr: float = 0.5
     luma_refine: bool = False
     neighbor_capacity: int = 48
+    neighbor_cand_cap: int = 1024
     group_dma: bool = True
     donor_policy: str = "cell_first"
+    # multi-illumination scoring (the live wiring of the reference's
+    # dormant multi-illum getTex, optim.cpp:846-893): when > 1, the
+    # gauntlet's NCC scores and the refinement objective average over
+    # the illumination axis. View SELECTION (constraint/sortImages/
+    # setRefImage) stays illum-0, like every reference variant.
+    n_illums: int = 1
 
 
 class RoundStats(NamedTuple):
@@ -170,9 +177,9 @@ def generate_hypotheses(
     images = vw.compact_list(images, cell_ok)
     has_views = count_valid(images) > 0
 
-    ncc0 = nccops.compute_patch_ncc(
+    ncc0 = nccops.compute_patch_ncc_n(
         scene, images, coord, normal, p.level, p.wsize, p.tau,
-        p.angle_threshold1,
+        p.angle_threshold1, n_illums=p.n_illums,
     )
 
     # full-cell gate (reference propagate.cpp:166-173): if the target
@@ -240,6 +247,7 @@ def run_gauntlet(
         init_angle_radius=p.refine_angle_radius,
         grad_steps=p.grad_steps, grad_lr=p.grad_lr,
         luma=p.luma_refine, group_dma=p.group_dma,
+        n_illums=p.n_illums,
     )
 
     post_images, post_ok, _ = vw.post_process_core(
@@ -248,6 +256,7 @@ def run_gauntlet(
         min_image_num=p.min_image_num, ncc_threshold=ncc_threshold,
         angle_threshold0=p.angle_threshold0,
         angle_threshold1=p.angle_threshold1,
+        n_illums=p.n_illums,
     )
     ok = ok_in & pre.ok & post_ok
     fail1 = ok_in & pre.ok & ~post_ok
@@ -274,6 +283,7 @@ def run_gauntlet(
             neighbor_threshold=p.neighbor_threshold,
             neighbor_threshold1=p.neighbor_threshold1,
             max_neighbors=p.neighbor_capacity,
+            cand_cap=p.neighbor_cand_cap,
         )
         fail1 = fail1 | (ok & reject)
         ok = ok & ~reject
@@ -332,42 +342,47 @@ def propagate_round(
     use_depth: bool = True,
     quad_threshold=2.5,
 ) -> Tuple[PatchTable, RoundStats]:
-    """One propagation round: x phase then y phase (the two spatial
-    directions of reference propagate.cpp:106-108)."""
-    stats = RoundStats(
-        total=jnp.zeros((), jnp.int32),
-        fail0=jnp.zeros((), jnp.int32),
-        fail1=jnp.zeros((), jnp.int32),
-        passed=jnp.zeros((), jnp.int32),
+    """One propagation round: each donor propagates into BOTH its x-
+    and y-neighbor target cell from one shared grid build and donor
+    selection — exactly the reference's per-patch behavior inside a
+    sweep (propagate.cpp:106-108 fires propagatePatch for the x and y
+    neighbor of the SAME cell state). One grid build + donor top-k per
+    round instead of two (the round-3 breakdown put build_grid at 24%
+    of the round, PROP_PARTS.json; the insertions of a round become
+    donors in the NEXT round, which the multi-round schedule covers)."""
+    key, k1a, k1b, k2 = jax.random.split(key, 4)
+    grid = gridmod.build_grid(
+        scene, table, p.level, p.csize, p.cell_capacity,
     )
-    for axis in (0, 1):
-        key, k1, k2 = jax.random.split(key, 3)
-        grid = gridmod.build_grid(
-            scene, table, p.level, p.csize, p.cell_capacity,
-        )
-        # cap enforcement kills over-capacity patches globally
-        # (reference propagate.cpp:94-98 removePatch)
-        table = table._replace(alive=table.alive & ~grid.evicted)
+    # cap enforcement kills over-capacity patches globally
+    # (reference propagate.cpp:94-98 removePatch)
+    table = table._replace(alive=table.alive & ~grid.evicted)
 
-        donors = select_donors(
-            scene, grid, table, p.donor_budget, p.donor_policy
+    donors = select_donors(
+        scene, grid, table, p.donor_budget, p.donor_policy
+    )
+    parts = [
+        generate_hypotheses(
+            scene, table, grid, *donors, axis, direction, k, p
         )
-        coord, normal, images, ncc0, ok = generate_hypotheses(
-            scene, table, grid, *donors, axis, direction, k1, p
-        )
+        for axis, k in ((0, k1a), (1, k1b))
+    ]
+    coord, normal, images, _, ok = (
+        jnp.concatenate([pt[i] for pt in parts]) for i in range(5)
+    )
 
-        out = _gauntlet_chunked(
-            scene, grid, table, coord, normal, images, ok, k2, p,
-            ncc_threshold, ncc_threshold_before, use_depth,
-            quad_threshold,
-        )
-        table = insert_patches(table, out)
-        stats = RoundStats(
-            total=stats.total + jnp.sum(ok),
-            fail0=stats.fail0 + jnp.sum(out.fail0),
-            fail1=stats.fail1 + jnp.sum(out.fail1),
-            passed=stats.passed + jnp.sum(out.ok),
-        )
+    out = _gauntlet_chunked(
+        scene, grid, table, coord, normal, images, ok, k2, p,
+        ncc_threshold, ncc_threshold_before, use_depth,
+        quad_threshold,
+    )
+    table = insert_patches(table, out)
+    stats = RoundStats(
+        total=jnp.sum(ok),
+        fail0=jnp.sum(out.fail0),
+        fail1=jnp.sum(out.fail1),
+        passed=jnp.sum(out.ok),
+    )
     return table, stats
 
 
