@@ -87,6 +87,7 @@ def _fill_slots(
     capacity: int,
     row_start=0,
     row_count: Optional[int] = None,
+    row_limit: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Segmented per-cell top-K by NCC over (patch, list-entry) pairs.
 
@@ -98,15 +99,27 @@ def _fill_slots(
     rows of a full build. row_start may be a traced scalar (it only
     enters key arithmetic); row_count must be static.
 
+    `row_limit` (static) declares that every alive TABLE row index is
+    < row_limit (the compacted-table invariant, core/patches.
+    compact_table): the pair sort then runs over row_limit*M pairs
+    instead of capacity*M — at production occupancy a ~4x cut of the
+    grid build, which is 24% of a propagation round (PROP_PARTS.json).
+    The result is identical because dead rows contribute nothing.
+
     Returns (slots[n, row_count, gw, capacity], evicted[N])."""
     n = scene.n_images
     gw, gh = grid_dims(scene, level, csize)
     if row_count is None:
         row_count = gh
-    N, M = lists.shape
+    N = table.capacity
+    R = N if row_limit is None else min(row_limit, N)
+    lists = lists[:R]
+    M = lists.shape[1]
 
-    cx, cy, valid = patch_cells(scene, table.coord, lists, level, csize)
-    valid = valid & table.alive[:, None]
+    cx, cy, valid = patch_cells(
+        scene, table.coord[:R], lists, level, csize
+    )
+    valid = valid & table.alive[:R, None]
     cy = cy - row_start
     valid = valid & (cy >= 0) & (cy < row_count)
     img = jnp.maximum(lists, 0)
@@ -115,9 +128,9 @@ def _fill_slots(
     key = jnp.where(valid, key, nkeys)  # invalid -> sentinel bucket
 
     flat_key = key.reshape(-1)
-    flat_ncc = jnp.broadcast_to(table.ncc[:, None], (N, M)).reshape(-1)
+    flat_ncc = jnp.broadcast_to(table.ncc[:R, None], (R, M)).reshape(-1)
     flat_pidx = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[:, None], (N, M)
+        jnp.arange(R, dtype=jnp.int32)[:, None], (R, M)
     ).reshape(-1)
 
     # ONE lexicographic sort (cell key asc, then ncc desc) with the
@@ -151,25 +164,38 @@ def _fill_slots(
     return slots, evicted
 
 
+def _pow2_limit(n: int, cap: int) -> int:
+    """Round a live-row bound up to the next power of two (capped):
+    quantizes `row_limit` so its jit variants stay few."""
+    r = 1
+    while r < n:
+        r *= 2
+    return min(r, cap)
+
+
 def build_depth_maps(
     scene: Scene, table: PatchTable, level: int, csize: int,
     row_start=0, row_count: Optional[int] = None,
+    row_limit: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Z-buffer rebuild (reference filter.cpp:580-626): every alive
     patch projects into EVERY image; its optical-axis depth updates the
     floor/ceil cell quad. `row_start`/`row_count` restrict the build to
     a window of cell rows (exact for those rows: each cell's minimum
-    only involves pairs targeting it, all of which the window sees).
+    only involves pairs targeting it, all of which the window sees);
+    `row_limit` bounds the table rows scanned (compacted-table
+    invariant, see _fill_slots).
     Returns (depth[n, row_count, gw], depth_idx)."""
     n = scene.n_images
     gw, gh = grid_dims(scene, level, csize)
     if row_count is None:
         row_count = gh
-    N = table.capacity
+    cap = table.capacity
+    N = cap if row_limit is None else min(row_limit, cap)
 
     ids = jnp.arange(n, dtype=jnp.int32)
     xy, _, pvalid = cam.project(
-        scene.cams, ids[None, :], table.coord[:, None, :], level
+        scene.cams, ids[None, :], table.coord[:N, None, :], level
     )
     fx = xy[..., 0] / csize
     fy = xy[..., 1] / csize
@@ -178,10 +204,10 @@ def build_depth_maps(
     y0 = jnp.floor(fy).astype(jnp.int32)
     y1 = jnp.ceil(fy).astype(jnp.int32)
     depth = jnp.einsum(
-        "nc,pc->pn", scene.cams.oaxis, table.coord
+        "nc,pc->pn", scene.cams.oaxis, table.coord[:N]
     )  # [N, n]
 
-    base_valid = pvalid & table.alive[:, None]
+    base_valid = pvalid & table.alive[:N, None]
 
     ncells = n * row_count * gw
     quads = ((x0, y0), (x1, y0), (x0, y1), (x1, y1))
@@ -230,17 +256,22 @@ def build_grid(
     capacity: int,
     v_capacity: Optional[int] = None,
     with_depth: bool = True,
+    row_limit: Optional[int] = None,
 ) -> GridState:
     if v_capacity is None:
         v_capacity = capacity
     slots, evicted = _fill_slots(
-        scene, table, table.images, level, csize, capacity
+        scene, table, table.images, level, csize, capacity,
+        row_limit=row_limit,
     )
     vslots, _ = _fill_slots(
-        scene, table, table.vimages, level, csize, v_capacity
+        scene, table, table.vimages, level, csize, v_capacity,
+        row_limit=row_limit,
     )
     if with_depth:
-        depth, depth_idx = build_depth_maps(scene, table, level, csize)
+        depth, depth_idx = build_depth_maps(
+            scene, table, level, csize, row_limit=row_limit
+        )
     else:
         n = scene.n_images
         gw, gh = grid_dims(scene, level, csize)
@@ -358,12 +389,16 @@ def set_vimages(
     csize: int,
     neighbor_threshold: float,
     use_depth: bool = True,
+    row_limit: Optional[int] = None,
 ):
     """Table-wide setVImagesVGrids, chunked over rows (the inner
     per-view projection gathers [rows, n_views, 3, 4] matrices whose
     (3, 4) minor dims pad to (8, 128) on TPU — 32x; at full production
-    capacity one unchunked temp is ~8.6 GB)."""
-    N = table.capacity
+    capacity one unchunked temp is ~8.6 GB). `row_limit` bounds the
+    rows scanned (compacted-table invariant); rows beyond it are dead
+    and their vimages reset to -1."""
+    cap = table.capacity
+    N = cap if row_limit is None else min(row_limit, cap)
     CH = min(8192, N)
     nch = (N + CH - 1) // CH
     rows = (jnp.arange(nch * CH, dtype=jnp.int32) % N).reshape(nch, CH)
@@ -385,4 +420,8 @@ def set_vimages(
         )
 
     out = jax.lax.map(one, rows)
-    return out.reshape(nch * CH, -1)[:N]
+    out = out.reshape(nch * CH, -1)[:N]
+    if N < cap:
+        pad = jnp.full((cap - N, out.shape[1]), -1, out.dtype)
+        out = jnp.concatenate([out, pad])
+    return out

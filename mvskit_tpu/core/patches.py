@@ -95,6 +95,31 @@ def from_numpy(
     return t
 
 
+def compact_table(table: PatchTable) -> PatchTable:
+    """Move alive rows to the front (stable in row order).
+
+    Patch identity is positional only within one grid build (grids are
+    rebuilt from scratch each pass, core/grid.py), so compaction between
+    passes is semantics-free — it exists so every row loop and the grid
+    build's pair sort can bound themselves to the live prefix
+    (`row_limit` args) instead of the full table capacity."""
+    order = jnp.argsort(~table.alive, stable=True)
+
+    def take(x):
+        return x[order]
+
+    return PatchTable(
+        coord=take(table.coord),
+        normal=take(table.normal),
+        ncc=take(table.ncc),
+        dscale=take(table.dscale),
+        ascale=take(table.ascale),
+        images=take(table.images),
+        vimages=take(table.vimages),
+        alive=take(table.alive),
+    )
+
+
 def count_valid(lst: jnp.ndarray) -> jnp.ndarray:
     """Number of non-(-1) entries per row of an index list."""
     return jnp.sum(lst >= 0, axis=-1)

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import MVSConfig
 from ..core import patches as pt
+from ..core.grid import _pow2_limit
 from ..image.scene import Scene, load_scene
 from ..io import patch_io, ply
 from ..ops import sampling
@@ -109,8 +110,13 @@ class PMMVS:
 
         self._prop_step = jax.jit(
             pr.propagate_round,
-            static_argnames=("p", "direction", "use_depth"),
+            static_argnames=("p", "direction", "use_depth", "row_limit"),
         )
+        # compaction keeps alive rows in a prefix so every row loop and
+        # grid-build sort bounds itself to the live prefix (row_limit
+        # static args, quantized to powers of two to bound jit variants)
+        self._compact = jax.jit(pt.compact_table)
+        self._row_bound: Optional[int] = None
         from . import expand as ex
 
         self._expand_step = jax.jit(
@@ -129,7 +135,7 @@ class PMMVS:
                 capacity=cfg.filter_cell_capacity,
                 neighbor_threshold=cfg.neighbor_threshold,
             ),
-            static_argnames=("additive",),
+            static_argnames=("additive", "row_limit"),
         )
         self._f_outside = jax.jit(
             functools.partial(
@@ -137,7 +143,8 @@ class PMMVS:
                 level=cfg.level,
                 csize=cfg.csize,
                 neighbor_threshold1=cfg.neighbor_threshold1,
-            )
+            ),
+            static_argnames=("row_limit",),
         )
         self._f_exact = jax.jit(
             functools.partial(
@@ -148,7 +155,8 @@ class PMMVS:
                 min_image_num=cfg.min_image_num,
                 neighbor_threshold1=cfg.neighbor_threshold1,
                 angle_threshold1=cfg.angle_threshold1,
-            )
+            ),
+            static_argnames=("row_limit",),
         )
         self._f_neighbor = jax.jit(
             functools.partial(
@@ -169,7 +177,8 @@ class PMMVS:
                 csize=cfg.csize,
                 neighbor_threshold2=cfg.neighbor_threshold2,
                 iters=cfg.small_group_iters,
-            )
+            ),
+            static_argnames=("row_limit",),
         )
         self._hwm = jax.jit(
             lambda alive: jnp.max(
@@ -240,9 +249,10 @@ class PMMVS:
             self.scene, self.cfg, self.cfg.prefix, resume_iter
         )
         self.depth = 1
-        self.log(
-            f"seeded {int(np.asarray(self.table.n_alive()))} patches"
-        )
+        n = int(np.asarray(self.table.n_alive()))
+        # seeds fill a prefix (from_numpy), so the live-row bound is n
+        self._row_bound = n
+        self.log(f"seeded {n} patches")
 
     def propagate(self, iteration: int) -> pr.RoundStats:
         """One outer expansion phase: cfg.prop_rounds rounds of the
@@ -280,7 +290,13 @@ class PMMVS:
                 f"fail1 {f1} alive {int(np.asarray(self.table.n_alive()))}"
             )
             return total
+        N = self.table.capacity
         for _ in range(self.cfg.prop_rounds):
+            # live-row bound: grows at most by the accepted hypotheses
+            # of a round (insertions fill the lowest dead rows first),
+            # so bumping by the hypothesis count is a sound no-sync
+            # over-estimate; the filter stage re-compacts and re-syncs
+            rl = _pow2_limit(max(self._row_bound or N, 1), N)
             self.table, stats = self._prop_step(
                 self.scene,
                 self.table,
@@ -291,7 +307,12 @@ class PMMVS:
                 ncc_threshold_before=jnp.float32(self.ncc_threshold_before),
                 use_depth=self.depth > 0,
                 quad_threshold=jnp.float32(self.cfg.quad_threshold),
+                row_limit=rl,
             )
+            if self._row_bound is not None:
+                self._row_bound = min(
+                    N, self._row_bound + 2 * self.cfg.donor_budget
+                )
             total = stats if total is None else pr.RoundStats(
                 *(a + b for a, b in zip(total, stats))
             )
@@ -308,33 +329,43 @@ class PMMVS:
         # rebuild -> neighbor -> rebuild -> groups -> rebuild
         ncc_thr = jnp.float32(self.ncc_threshold)
         quad_thr = jnp.float32(self.cfg.quad_threshold)
-        t = self.table
+        # compact alive rows to a prefix and sync the exact live bound:
+        # every phase below then scans only the live prefix (row_limit)
+        t = self._compact(self.table)
+        N = t.capacity
+        hwm = int(np.asarray(self._hwm(t.alive)))
+        self._row_bound = hwm + 1
+        R = _pow2_limit(max(hwm + 1, 1), N)
+        t_phase = time.time()
 
         def sync(x, what):
             # serialize phases: pulling the count to host forces the
             # phase to finish before the next enqueues (rapid
             # multi-enqueue of large programs can wedge the remote
-            # worker) and gives phase-level progress
+            # worker) and gives phase-level progress + timing
+            nonlocal t_phase
             v = int(np.asarray(x))
-            self.log(f"  filter phase {what}: {v}")
+            now = time.time()
+            self.log(f"  filter phase {what}: {v} ({now - t_phase:.1f}s)")
+            t_phase = now
             return v
 
-        t, grid = self._f_rebuild(self.scene, t, additive=False)
-        t, n_out = self._f_outside(self.scene, grid, t, ncc_threshold=ncc_thr)
+        t, grid = self._f_rebuild(self.scene, t, additive=False, row_limit=R)
+        t, n_out = self._f_outside(
+            self.scene, grid, t, ncc_threshold=ncc_thr, row_limit=R
+        )
         o = sync(n_out, "outside")
-        t, grid = self._f_rebuild(self.scene, t, additive=True)
-        t, n_exact = self._f_exact(self.scene, grid, t)
+        t, grid = self._f_rebuild(self.scene, t, additive=True, row_limit=R)
+        t, n_exact = self._f_exact(self.scene, grid, t, row_limit=R)
         e = sync(n_exact, "exact")
-        t, grid = self._f_rebuild(self.scene, t, additive=True)
+        t, grid = self._f_rebuild(self.scene, t, additive=True, row_limit=R)
         # neighbor filter in row segments — one program over all rows
         # runs long enough to crash the remote worker. Every segment
         # sees the ROUND-START table (reference filterNeighbor removes
         # at the end of the pass); alive masks merge afterwards. Rows
         # past the live high-water mark are dead by construction, so
         # their segments are skipped entirely.
-        N = t.capacity
         seg = min(32768, N)
-        hwm = int(np.asarray(self._hwm(t.alive)))
         n = 0
         merged = t.alive
         for off in range(0, min(hwm + 1, N), seg):
@@ -346,10 +377,10 @@ class PMMVS:
             merged = merged & t_seg.alive
         t = t._replace(alive=merged)
         n_nb = jnp.int32(n)
-        t, grid = self._f_rebuild(self.scene, t, additive=True)
-        t, n_grp = self._f_groups(self.scene, grid, t)
+        t, grid = self._f_rebuild(self.scene, t, additive=True, row_limit=R)
+        t, n_grp = self._f_groups(self.scene, grid, t, row_limit=R)
         g = sync(n_grp, "groups")
-        t, _ = self._f_rebuild(self.scene, t, additive=True)
+        t, _ = self._f_rebuild(self.scene, t, additive=True, row_limit=R)
         self.table = t
         stats = fl.FilterStats(n_out, n_exact, n_nb, n_grp)
         self.log(

@@ -228,14 +228,18 @@ def compute_gains(
     ncc_threshold,
     neighbor_threshold1,
     chunk: int = 1024,
+    row_limit=None,
 ) -> jnp.ndarray:
     """Filter::computeGain for every table row (filter.cpp:108-146).
 
     Chunked over rows: gain_batch gathers [B, n_views, S, 4] pressed
     coordinates whose trailing 4 pads to 128 lanes on TPU — unchunked
     at production capacity (2^18 rows x 16 views x 16 slots) that
-    single temp is 32 GB."""
-    N = table.capacity
+    single temp is 32 GB. `row_limit` bounds the rows scanned
+    (compacted-table invariant, core/grid._fill_slots); rows beyond it
+    return gain 0."""
+    cap = table.capacity
+    N = cap if row_limit is None else min(row_limit, cap)
     C = min(chunk, N)
     nch = (N + C - 1) // C
     rows = jnp.arange(nch * C, dtype=jnp.int32).reshape(nch, C)
@@ -249,7 +253,10 @@ def compute_gains(
             rs, level, csize, ncc_threshold, neighbor_threshold1,
         )
 
-    return lax.map(one, rows).reshape(-1)[:N]
+    out = lax.map(one, rows).reshape(-1)[:N]
+    if N < cap:
+        out = jnp.concatenate([out, jnp.zeros((cap - N,), out.dtype)])
+    return out
 
 
 def filter_outside(
@@ -260,10 +267,12 @@ def filter_outside(
     csize: int,
     ncc_threshold,
     neighbor_threshold1,
+    row_limit=None,
 ) -> Tuple[PatchTable, jnp.ndarray]:
     """Remove patches with negative gain (filter.cpp:51-97)."""
     gains = compute_gains(
-        scene, grid, table, level, csize, ncc_threshold, neighbor_threshold1
+        scene, grid, table, level, csize, ncc_threshold,
+        neighbor_threshold1, row_limit=row_limit,
     )
     kill = table.alive & (gains < 0.0)
     return table._replace(alive=table.alive & ~kill), jnp.sum(kill)
@@ -284,12 +293,14 @@ def filter_exact(
     neighbor_threshold1,
     angle_threshold1: float,
     use_depth: bool = True,
+    row_limit=None,
 ) -> Tuple[PatchTable, jnp.ndarray]:
     """Per-(patch, view) exact visibility (filter.cpp:148-263): a view
     survives if the patch passes isVisible in its cell or any 4-neighbor
     cell; patches under minImageNum die. Survivors re-pick their
     reference view (setRefImage)."""
-    N, M = table.images.shape
+    cap, M = table.images.shape
+    N = cap if row_limit is None else min(row_limit, cap)
     # chunked over rows: the visibility and setRefImage inner arrays
     # ([rows, M, 3, 4] projections, [rows, M, M] pairwise INCCs, window
     # textures) are multi-GB at full production capacity
@@ -331,6 +342,13 @@ def filter_exact(
     new_images, enough = lax.map(one, rows_all)
     new_images = new_images.reshape(nch * CH, M)[:N]
     enough = enough.reshape(-1)[:N]
+    if N < cap:
+        new_images = jnp.concatenate(
+            [new_images, jnp.full((cap - N, M), -1, new_images.dtype)]
+        )
+        enough = jnp.concatenate(
+            [enough, jnp.zeros((cap - N,), enough.dtype)]
+        )
     killed = table.alive & ~enough
     return (
         table._replace(
@@ -656,19 +674,24 @@ def filter_small_groups(
     csize: int,
     neighbor_threshold2,
     iters: int = 32,
+    row_limit=None,
 ) -> Tuple[PatchTable, jnp.ndarray]:
     """filterSmallGroups (filter.cpp:432-578): connected components
     under isNeighbor over the reference-view 3x3 cell graph; components
     smaller than max(20, alive/10000) are removed. BFS becomes
     min-label propagation with path halving (pointer jumping), so
-    convergence is exponential in `iters`."""
-    N, M = table.images.shape
+    convergence is exponential in `iters`. `row_limit` bounds the rows
+    scanned (compacted-table invariant)."""
+    cap, M = table.images.shape
+    N = cap if row_limit is None else min(row_limit, cap)
     gh, gw = grid.slots.shape[1], grid.slots.shape[2]
 
-    ref_list = table.images[:, :1]
-    cx, cy, valid = _cell_coords(scene, table.coord, ref_list, level, csize)
+    ref_list = table.images[:N, :1]
+    cx, cy, valid = _cell_coords(
+        scene, table.coord[:N], ref_list, level, csize
+    )
     cx, cy, valid = cx[:, 0], cy[:, 0], valid[:, 0]
-    img = jnp.maximum(table.images[:, 0], 0)
+    img = jnp.maximum(table.images[:N, 0], 0)
 
     cands = []
     for dy in (-1, 0, 1):
@@ -681,7 +704,9 @@ def filter_small_groups(
             cands.append(jnp.where(inb[:, None], grid.vslots[img, tyc, txc], -1))
     cand = jnp.concatenate(cands, axis=1)  # [N, Kc]
 
-    cidx = jnp.maximum(cand, 0)
+    # grid slots only reference alive rows, which the compacted-table
+    # invariant puts below N; clip defensively for the label gather
+    cidx = jnp.clip(cand, 0, N - 1)
     me = jnp.arange(N, dtype=jnp.int32)
     ref_unit_all = _ref_unit(scene, table, me, level)  # [N]
 
@@ -714,7 +739,7 @@ def filter_small_groups(
 
     edge = lax.map(edge_of, rows_all).reshape(nch * CH, Kc)[:N]
 
-    label = jnp.where(table.alive, me, N)
+    label = jnp.where(table.alive[:N], me, N)
 
     def body(_, label):
         nl = jnp.min(
@@ -728,11 +753,13 @@ def filter_small_groups(
     label = lax.fori_loop(0, iters, body, label)
 
     sizes = jnp.zeros((N + 1,), jnp.int32).at[jnp.clip(label, 0, N)].add(
-        jnp.where(table.alive, 1, 0)
+        jnp.where(table.alive[:N], 1, 0)
     )
     psize = jnp.sum(table.alive)
     threshold = jnp.maximum(20, psize // 10000)
     small = sizes[jnp.clip(label, 0, N)] < threshold
+    if N < cap:
+        small = jnp.concatenate([small, jnp.zeros((cap - N,), bool)])
     kill = table.alive & small
     return table._replace(alive=table.alive & ~kill), jnp.sum(kill)
 
@@ -757,18 +784,24 @@ def rebuild(
     neighbor_threshold,
     additive: bool,
     use_depth: bool = True,
+    row_limit=None,
 ) -> Tuple[PatchTable, gridmod.GridState]:
     """setDepthMapsVGridsVPGridsAddPatchV (filter.cpp:628-655): rebuild
     depth maps, (re)derive vimages (cleared first when additive=0), and
     rebuild the v-grids."""
     if not additive:
         table = table._replace(vimages=jnp.full_like(table.vimages, -1))
-    grid = gridmod.build_grid(scene, table, level, csize, capacity)
+    grid = gridmod.build_grid(
+        scene, table, level, csize, capacity, row_limit=row_limit
+    )
     vimages = gridmod.set_vimages(
-        scene, grid, table, level, csize, neighbor_threshold, use_depth
+        scene, grid, table, level, csize, neighbor_threshold, use_depth,
+        row_limit=row_limit,
     )
     table = table._replace(vimages=vimages)
-    grid = gridmod.build_grid(scene, table, level, csize, capacity)
+    grid = gridmod.build_grid(
+        scene, table, level, csize, capacity, row_limit=row_limit
+    )
     return table, grid
 
 

@@ -341,6 +341,7 @@ def propagate_round(
     ncc_threshold_before,
     use_depth: bool = True,
     quad_threshold=2.5,
+    row_limit=None,
 ) -> Tuple[PatchTable, RoundStats]:
     """One propagation round: each donor propagates into BOTH its x-
     and y-neighbor target cell from one shared grid build and donor
@@ -353,6 +354,7 @@ def propagate_round(
     key, k1a, k1b, k2 = jax.random.split(key, 4)
     grid = gridmod.build_grid(
         scene, table, p.level, p.csize, p.cell_capacity,
+        row_limit=row_limit,
     )
     # cap enforcement kills over-capacity patches globally
     # (reference propagate.cpp:94-98 removePatch)

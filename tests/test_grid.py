@@ -157,3 +157,42 @@ def test_visible_extra_views_discovers(sp):
     # planar scene, everything visible: patches with missing views get them
     nimg = (imgs >= 0).sum(1) + (vim >= 0).sum(1)
     assert np.median(nimg[alive[: len(nimg)]]) >= scene.n_images - 2
+
+
+def test_build_grid_row_limit_parity(sp):
+    """row_limit (the compacted-table bound) must not change any grid
+    content — dead rows beyond the bound contribute nothing."""
+    scene, table = sp
+    full = gr.build_grid(scene, table, LEVEL, CSIZE, 8)
+    lim = gr.build_grid(scene, table, LEVEL, CSIZE, 8, row_limit=64)
+    np.testing.assert_array_equal(np.asarray(full.slots), np.asarray(lim.slots))
+    np.testing.assert_array_equal(
+        np.asarray(full.vslots), np.asarray(lim.vslots)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.depth_idx), np.asarray(lim.depth_idx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.evicted), np.asarray(lim.evicted)
+    )
+
+
+def test_compact_table_moves_alive_to_prefix(sp):
+    scene, table = sp
+    # kill some rows in the middle
+    alive = np.asarray(table.alive).copy()
+    idx = np.nonzero(alive)[0]
+    alive[idx[::3]] = False
+    t = table._replace(alive=jnp.asarray(alive))
+    c = pt.compact_table(t)
+    a = np.asarray(c.alive)
+    n = a.sum()
+    assert a[:n].all() and not a[n:].any()
+    # alive rows keep their full attribute tuples (order-stable)
+    surv = np.nonzero(alive)[0]
+    np.testing.assert_array_equal(
+        np.asarray(c.coord)[:n], np.asarray(t.coord)[surv]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c.images)[:n], np.asarray(t.images)[surv]
+    )

@@ -162,3 +162,23 @@ def test_insert_patches_respects_capacity():
     # the two best accepted (ncc .9, .7) got the free rows
     filled = sorted(float(v) for v in np.asarray(new.ncc)[6:8])
     np.testing.assert_allclose(filled, [0.7, 0.9], atol=1e-6)
+
+
+def test_propagate_round_row_limit_parity(sp):
+    """A compacted table propagated with row_limit set must produce the
+    identical table to the unbounded round (same key)."""
+    scene, table = sp
+    p = make_params()
+    key = jax.random.PRNGKey(7)
+    thr = jnp.float32(0.6)
+    thrb = jnp.float32(0.3)
+    t1, s1 = pr.propagate_round(
+        scene, table, key, p, 1, thr, thrb, use_depth=False
+    )
+    t2, s2 = pr.propagate_round(
+        scene, table, key, p, 1, thr, thrb, use_depth=False,
+        row_limit=64,
+    )
+    for a, b in zip(t1, t2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(np.asarray(s1.passed)) == int(np.asarray(s2.passed))

@@ -175,7 +175,8 @@ def main() -> int:
             shrink=p.refine_shrink,
             init_depth_radius=p.refine_depth_radius,
             init_angle_radius=p.refine_angle_radius,
-            group_dma=p.group_dma,
+            group_dma=p.group_dma, luma=p.luma_refine,
+            n_illums=p.n_illums,
         ),
         scene, cc, cn, pre.images, pre.dscale, key,
     )
@@ -218,6 +219,7 @@ def main() -> int:
             p.level, p.csize, margin=2, scale=4.0,
             neighbor_threshold=p.neighbor_threshold,
             max_neighbors=p.neighbor_capacity,
+            cand_cap=p.neighbor_cand_cap,
         )[0],
         scene, grid, table, refined.coord, refined.normal,
     )
@@ -237,6 +239,7 @@ def main() -> int:
             neighbor_threshold=p.neighbor_threshold,
             neighbor_threshold1=p.neighbor_threshold1,
             max_neighbors=p.neighbor_capacity,
+            cand_cap=p.neighbor_cand_cap,
         ),
         scene, grid, table, refined.coord, refined.normal,
     )

@@ -49,6 +49,9 @@ def main() -> int:
     ap.add_argument("--donor-budget", type=int, default=None)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--fresh-dataset", action="store_true")
+    ap.add_argument("--geometry", default="plane",
+                    choices=("plane", "sphere"))
+    ap.add_argument("--nillums", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -70,7 +73,8 @@ def main() -> int:
     # ---- dataset (reference directory contract, SURVEY.md §1) ----
     marker = os.path.join(
         args.prefix,
-        f"dataset_{args.views}x{args.width}x{args.height}x{args.seeds}.ok",
+        f"dataset_{args.geometry}{args.nillums}_"
+        f"{args.views}x{args.width}x{args.height}x{args.seeds}.ok",
     )
     if args.fresh_dataset or not os.path.exists(marker):
         print(f"writing dataset at {args.prefix}...", file=sys.stderr)
@@ -78,6 +82,7 @@ def main() -> int:
         synthetic.write_dataset(
             args.prefix, n_views=args.views, width=args.width,
             height=args.height, n_seeds=args.seeds,
+            geometry=args.geometry, nillums=args.nillums,
         )
         open(marker, "w").write("ok\n")
         print(f"dataset written in {time.time() - t0:.1f}s", file=sys.stderr)
@@ -154,16 +159,32 @@ def main() -> int:
     )
     total_s = time.time() - t_all
 
-    # ---- quality vs analytic ground truth (plane z=0) ----
+    # ---- quality vs analytic ground truth ----
     data = engine.collect()
     cloud = data["coord"][:, :3]
-    g = np.linspace(-1.0, 1.0, 200)
-    xs, ys = np.meshgrid(g, g)
-    gt = np.stack([xs.ravel(), ys.ravel(), np.zeros(xs.size)], axis=1)
-    m = metrics.accuracy_completeness(
-        cloud, gt, threshold=0.05, crop_to_gt_bbox=True
-    )
-    m["plane_rms"] = metrics.plane_rms(cloud)
+    if args.geometry == "sphere":
+        Ps = synthetic.sphere_cameras(args.views, args.width, args.height)
+        gt, _ = synthetic.visible_surface_points(
+            Ps, 40000, geometry="sphere", seed=97,
+            width=args.width, height=args.height,
+        )
+        gt = gt[:, :3]
+        m = metrics.accuracy_completeness(cloud, gt, threshold=0.05)
+        dist = synthetic.surface_distance(cloud, "sphere")
+        m["surface_dist_median"] = float(np.median(dist))
+        m["surface_frac@0.05"] = float((dist < 0.05).mean())
+        m["n_off_surface@0.2"] = int((dist > 0.2).sum())
+        m["n_on_sphere"] = int(
+            ((np.abs(cloud[:, 2]) > 0.05) & (dist < 0.05)).sum()
+        )
+    else:
+        g = np.linspace(-1.0, 1.0, 200)
+        xs, ys = np.meshgrid(g, g)
+        gt = np.stack([xs.ravel(), ys.ravel(), np.zeros(xs.size)], axis=1)
+        m = metrics.accuracy_completeness(
+            cloud, gt, threshold=0.05, crop_to_gt_bbox=True
+        )
+        m["plane_rms"] = metrics.plane_rms(cloud)
 
     prop_secs = sum(s["seconds"] for s in stages if s["stage"].startswith("propagate"))
     hyp_total = sum(s.get("hypotheses", 0) for s in stages)
@@ -173,6 +194,7 @@ def main() -> int:
         "dataset": {
             "views": args.views, "width": args.width,
             "height": args.height, "seeds": args.seeds,
+            "geometry": args.geometry, "nillums": args.nillums,
         },
         "config": {
             "iterations": cfg.n_iterations,
@@ -192,7 +214,7 @@ def main() -> int:
         "final_alive": int(cloud.shape[0]),
         "hypotheses_total": hyp_total,
         "hypotheses_per_s_overall": round(hyp_total / max(prop_secs, 1e-9), 1),
-        "quality_vs_analytic_plane@0.05": m,
+        f"quality_vs_analytic_{args.geometry}@0.05": m,
         "stages": stages,
     }
     path = os.path.join(REPO, f"E2E_{args.tag}.json")
