@@ -8,12 +8,19 @@ pyramid level), zero-mean/unit-RMS normalize, and reduce to robust
 inverse-NCC scores. Everything is one jit region; the per-view axis is
 a vectorized dimension rather than the reference's serial view loop.
 
-Layout: window tensors are CHANNEL-LEADING and BATCH-MINOR:
-``tex[3, T, S, B]``. The minor two dims of any TPU array tile to
-(8, 128): a trailing (S=49, C=3) pair pads ~36x (OOM), (T, S) pads
-3.5x, while (S, B) with a large batch pads only 49->56 = 1.14x — and
-the multi-GB padded copies XLA materializes at loop boundaries go away
-with it. Aggregation outputs return batch-major [B]/[B, T] (small).
+Layout: window tensors are WINDOWS-MAJOR: ``tex[T, B, L]`` with
+L = C * SPAD lanes per (view, patch) row — the LITERAL layout the
+Pallas kernel stores ([T*B windows, C*SPAD samples]), adopted by free
+reshapes only. Any other order forces XLA to materialize a relayout of
+the ~80 MB window tensor per evaluation (measured 8 ms per 393k-window
+refine round for a [S, T, B] order — as large as the kernel itself).
+Within a row, channel c occupies lanes [c*SPAD, c*SPAD + S); lanes
+>= S in each block are lattice duplicates which `normalize_tex` zeroes,
+so downstream inner products are plain lane sums. `normalize_tex` also
+folds the 1/sqrt(C*S) mean factor into the values: the dot of two
+normalized rows IS the reference's mean NCC dot (optim.cpp:601-609)
+with no further division. Aggregation outputs return batch-major
+[B]/[B, T] (small).
 """
 
 from __future__ import annotations
@@ -21,7 +28,9 @@ from __future__ import annotations
 import math
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry import camera as cam
 from ..image.scene import Scene
@@ -103,6 +112,128 @@ def window_geometry(
     return tl, dx2, dy2, new_level, valid
 
 
+def window_geometry_views(
+    scene: Scene, views_t, coord, pxaxis, pyaxis, normal, level: int,
+    wsize: int, angle_threshold1: float,
+):
+    """window_geometry for a [T, B] view batch sharing per-patch
+    geometry, re-expressed dense-over-views.
+
+    Projection is linear, so every view's P projects the whole patch
+    batch at once: one [B, 4] @ [4, 3V] f32-HIGHEST matmul per lattice
+    point (P @ (c + a) = P@c + P@a since the plane axes have w = 0),
+    and the T live views are then picked by a static one-hot sum over
+    V — no per-row camera gathers or per-row matvecs, which measured
+    14.1 ms of a 32.7 ms refine round at 393k (window, view) rows.
+    Semantics mirror window_geometry / Optim::getTex (reference
+    optim.cpp:790-822) and Camera::project (camera.cpp:310-326);
+    padded rows (views_t == -1) select nothing and come back invalid.
+    """
+    T, B = views_t.shape
+    V = scene.n_images
+    cams = scene.cams
+    prec = jax.lax.Precision.HIGHEST
+
+    Pcat = cams.P.reshape(V * 3, 4).T.astype(jnp.float32)  # [4, 3V]
+    qc = jnp.dot(coord, Pcat, precision=prec).reshape(B, V, 3)
+    qx = jnp.dot(pxaxis, Pcat, precision=prec).reshape(B, V, 3)
+    qy = jnp.dot(pyaxis, Pcat, precision=prec).reshape(B, V, 3)
+
+    # viewing-angle gate dense over views: weight = max(0,
+    # dot(unit(center_v - c), normal)) (_unit_ray_to_camera + _dot4)
+    c3 = coord[:, :3]
+    n3 = normal[:, :3]
+    cen = cams.center[:, :3].astype(jnp.float32)            # [V, 3]
+    cn = jnp.dot(n3, cen.T, precision=prec)                 # [B, V]
+    cc = jnp.dot(c3, cen.T, precision=prec)                 # [B, V]
+    d2 = (
+        jnp.sum(c3 * c3, axis=-1, keepdims=True)
+        - 2.0 * cc
+        + jnp.sum(cen * cen, axis=-1)[None, :]
+    )
+    rnorm = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    wraw = (cn - jnp.sum(c3 * n3, axis=-1, keepdims=True)) / rnorm
+    ang_ok = jnp.maximum(0.0, wraw) >= math.cos(angle_threshold1)
+
+    # static one-hot selection of the T live views (V <= ~50 static
+    # where+accumulate passes fuse into one VPU sweep; exact in f32)
+    q = jnp.concatenate([qc, qx, qy], axis=-1)              # [B, V, 9]
+    selq = jnp.zeros((T, B, 9), jnp.float32)
+    sel_ang = jnp.zeros((T, B), bool)
+    for v in range(V):
+        m = views_t == v
+        selq = jnp.where(m[..., None], q[:, v][None], selq)
+        sel_ang = jnp.where(m, ang_ok[:, v][None], sel_ang)
+    ic = selq[..., 0:3]
+
+    s = cam.level_scale(level)
+
+    def proj_xy(p):
+        # Camera::project semantics (camera.cpp:310-326)
+        z = p[..., 2]
+        ok = z > 0.0
+        safe_z = jnp.where(ok, z, 1.0)
+        xy = p[..., :2] / (safe_z * s)[..., None]
+        xy = jnp.clip(xy, -1e9, 1e9)
+        return jnp.where(ok[..., None], xy, cam.BEHIND), ok
+
+    c_xy, c_ok = proj_xy(ic)
+    px_xy, _ = proj_xy(ic + selq[..., 3:6])
+    py_xy, _ = proj_xy(ic + selq[..., 6:9])
+    dx = px_xy - c_xy
+    dy = py_xy - c_xy
+
+    ratio = (
+        jnp.sqrt(jnp.maximum(jnp.sum(dx * dx, axis=-1), 1e-20))
+        + jnp.sqrt(jnp.maximum(jnp.sum(dy * dy, axis=-1), 1e-20))
+    ) / 2.0
+    level_diff = jnp.floor(jnp.log2(ratio) + 0.5).astype(jnp.int32)
+    level_diff = jnp.clip(level_diff, -level, 2)
+    scale = jnp.exp2(level_diff.astype(jnp.float32))
+    new_level = level + level_diff
+
+    c2 = c_xy / scale[..., None]
+    dx2 = dx / scale[..., None]
+    dy2 = dy / scale[..., None]
+
+    margin = wsize // 2
+    half = dx2 * margin
+    halfy = dy2 * margin
+    minxy = c2 - jnp.abs(half) - jnp.abs(halfy)
+    maxxy = c2 + jnp.abs(half) + jnp.abs(halfy)
+    # level-size lookup as a static one-hot sweep over the (few) levels
+    w_l = jnp.zeros(new_level.shape, jnp.float32)
+    h_l = jnp.zeros(new_level.shape, jnp.float32)
+    for l in range(scene.lvl_widths.shape[0]):
+        ml = new_level == l
+        w_l = jnp.where(ml, scene.lvl_widths[l].astype(jnp.float32), w_l)
+        h_l = jnp.where(ml, scene.lvl_heights[l].astype(jnp.float32), h_l)
+    margin2 = 2.0
+    valid_safe = (
+        (minxy[..., 0] >= margin2)
+        & (maxxy[..., 0] < w_l - 1.0 - margin2)
+        & (minxy[..., 1] >= margin2)
+        & (maxxy[..., 1] < h_l - 1.0 - margin2)
+    )
+    valid = sel_ang & valid_safe & c_ok
+    tl = c2 - half - halfy
+    # materialize the per-window geometry ONCE, as [T, B] scalar planes
+    # (good (8,128) tiling). Without this barrier XLA fuses the V-step
+    # one-hot select into the sampler's per-LANE operand prep and
+    # recomputes it ~SPAD times per window — measured +8 ms per 393k-
+    # window round, as large as the Pallas kernel itself.
+    (tlx, tly, dxx, dxy, dyx, dyy, new_level, valid) = (
+        jax.lax.optimization_barrier(
+            (tl[..., 0], tl[..., 1], dx2[..., 0], dx2[..., 1],
+             dy2[..., 0], dy2[..., 1], new_level, valid)
+        )
+    )
+    tl = jnp.stack([tlx, tly], axis=-1)
+    dx2 = jnp.stack([dxx, dxy], axis=-1)
+    dy2 = jnp.stack([dyx, dyy], axis=-1)
+    return tl, dx2, dy2, new_level, valid
+
+
 def get_tex(
     scene: Scene,
     index,
@@ -141,26 +272,48 @@ def get_tex(
     return tex, valid
 
 
-def normalize_tex(tex):
-    """Zero-mean, unit-RMS normalization (reference optim.cpp:917-940).
+def normalize_tex(tex, channels: int, s: int):
+    """Zero-mean normalization (reference optim.cpp:917-940) in the
+    windows-major layout, with two folds that keep every later pass a
+    plain lane reduction:
 
-    tex: [3, ..., S, B] (sample axis second-minor) -> same shape."""
-    s = tex.shape[-2]
-    c = tex.shape[0]
-    ave = jnp.mean(tex, axis=-2, keepdims=True)
-    diff = tex - ave
-    ssd = jnp.sum(diff * diff, axis=(0, -2), keepdims=True)
-    msd = jnp.sqrt(ssd / (c * s))
+    - per-channel mean over the S live lanes of each block, joint RMS
+      over all C*S live lanes (exactly optim.cpp:923-935);
+    - duplicate lanes (>= s within each SPAD block) are ZEROED;
+    - values are scaled by 1/sqrt(C*S), so `tex_dot` of two normalized
+      rows is the reference's mean dot with no division.
+
+    tex: [..., L] raw samples, L = channels * spad -> same shape."""
+    L = tex.shape[-1]
+    spad = L // channels
+    lane = np.arange(L) % spad
+    live = jnp.asarray((lane < s).astype(np.float32))
+    texm = tex * live
+    if channels == 1:
+        ave = jnp.sum(texm, axis=-1, keepdims=True) / s
+    else:
+        # per-channel means via static lane masks (exact f32 VPU sums),
+        # broadcast back onto each block
+        blk = np.arange(L) // spad
+        ave = 0.0
+        for c in range(channels):
+            mc = jnp.asarray(
+                ((blk == c) & (lane < s)).astype(np.float32)
+            )
+            ave = ave + jnp.sum(texm * mc, axis=-1, keepdims=True) / s * mc
+    diff = (tex - ave) * live
+    ssd = jnp.sum(diff * diff, axis=-1, keepdims=True)
+    cs = channels * s
+    msd = jnp.sqrt(ssd / cs)
     msd = jnp.where(msd == 0.0, 1.0, msd)
-    return diff / msd
+    return diff / (msd * math.sqrt(cs))
 
 
 def tex_dot(tex0, tex1):
-    """Mean elementwise product (reference optim.cpp:601-609):
-    sum over channels and samples / (3 * S). Inputs [3, ..., S, B]."""
-    s = tex0.shape[-2]
-    c = tex0.shape[0]
-    return jnp.sum(tex0 * tex1, axis=(0, -2)) / (c * s)
+    """Mean elementwise product (reference optim.cpp:601-609): with the
+    1/sqrt(C*S) fold of normalize_tex, the mean is a plain lane sum.
+    Inputs [..., L]."""
+    return jnp.sum(tex0 * tex1, axis=-1)
 
 
 def texs_for_views(
@@ -179,8 +332,8 @@ def texs_for_views(
 
     Plane axes come from the *reference* view views[:, 0] (reference
     optim.cpp:635-638: getPAxes on indexes[0] only). views == -1 marks
-    padding. Returns (tex[3, T, S, B] normalized, valid[T, B]) — the
-    batch-minor layout keeps TPU tile padding at ~1.14x.
+    padding. Returns (tex[T, B, L] normalized windows-major, valid
+    [T, B]) — the kernel-native layout (see module docstring).
 
     group > 1 declares that every `group` consecutive rows of the batch
     are jittered candidates of the same patch (same view rows): the
@@ -191,28 +344,23 @@ def texs_for_views(
 
     B, T = views.shape
     views_t = views.T  # [T, B]
-    vcoord = jnp.broadcast_to(coord[None, :, :], (T, B, 4))
-    vnormal = jnp.broadcast_to(normal[None, :, :], (T, B, 4))
-    vpx = jnp.broadcast_to(pxaxis[None, :, :], (T, B, 4))
-    vpy = jnp.broadcast_to(pyaxis[None, :, :], (T, B, 4))
-
     idx = jnp.maximum(views_t, 0)
-    tl, dx2, dy2, new_level, valid = window_geometry(
-        scene, idx, vcoord, vpx, vpy, vnormal, level, wsize,
+    tl, dx2, dy2, new_level, valid = window_geometry_views(
+        scene, views_t, coord, pxaxis, pyaxis, normal, level, wsize,
         angle_threshold1,
     )
     if scene.view_mesh is not None:
-        tex, fit = _sample_windows_view_sharded(
+        tex, fit, channels = _sample_windows_view_sharded(
             scene, idx, tl, dx2, dy2, new_level, wsize, illum, luma,
             group,
         )
     else:
-        tex, fit = sample_windows_raw(
+        tex, fit, channels = sample_windows_raw(
             scene, idx, tl, dx2, dy2, new_level, wsize, illum, luma,
             group,
         )
     valid = valid & (views_t >= 0) & fit
-    return normalize_tex(tex), valid
+    return normalize_tex(tex, channels, wsize * wsize), valid
 
 
 def sample_windows_raw(
@@ -221,9 +369,13 @@ def sample_windows_raw(
 ):
     """The sampling half of getTex on a [T, B] pair batch: raw
     (unnormalized) windows from the scene's fastest available plane
-    representation. Returns (tex[C, T, S, B], fit[T, B]). `group` is
-    the Pallas candidate-group size (consecutive along B; the [T, B] ->
-    flat reshape is T-major so members stay contiguous)."""
+    representation. Returns (tex[T, B, L], fit[T, B], channels) — the
+    kernel's LITERAL output layout ([T*B, C*SPAD] rows, reshaped for
+    free; any transposed order materializes an ~8 ms relayout per 393k-
+    window round). On the gather path L = channels * wsize^2 (no lane
+    padding). `group` is the Pallas candidate-group size (consecutive
+    along B; the [T, B] -> flat reshape is T-major so members stay
+    contiguous)."""
     T, B = idx.shape
     s = wsize * wsize
     use_luma_kernel = luma and scene.planes_luma_levels is not None
@@ -248,30 +400,27 @@ def sample_windows_raw(
             wsize=wsize,
             rgb=use_rgb_kernel,
             group=group,
-        )  # [C*SPAD, T*B], [T*B]
-        spad = out.shape[0] // (3 if use_rgb_kernel else 1)
-        chans = [
-            jnp.moveaxis(
-                out[c * spad : c * spad + s].reshape(s, T, B), 0, 1
-            )
-            for c in range(3 if use_rgb_kernel else 1)
-        ]
-        tex = jnp.stack(chans, axis=0)  # [C, T, S, B] raw samples
-        return tex, fit.reshape(T, B)
+        )  # [T*B, C*SPAD], [T*B]
+        channels = 3 if use_rgb_kernel else 1
+        tex = out.reshape(T, B, out.shape[-1])  # free reshape
+        return tex, fit.reshape(T, B), channels
     xs = jnp.arange(wsize, dtype=jnp.float32)
-    lat_x = jnp.tile(xs, wsize)[None, :, None]      # [1, S, 1]
-    lat_y = jnp.repeat(xs, wsize)[None, :, None]
-    gx = tl[:, None, :, 0] + dx2[:, None, :, 0] * lat_x + dy2[:, None, :, 0] * lat_y
-    gy = tl[:, None, :, 1] + dx2[:, None, :, 1] * lat_x + dy2[:, None, :, 1] * lat_y
-    lvl = jnp.broadcast_to(new_level[:, None, :], (T, s, B))
-    iidx = jnp.broadcast_to(idx[:, None, :], (T, s, B))
+    lat_x = jnp.tile(xs, wsize)[None, None, :]      # [1, 1, S]
+    lat_y = jnp.repeat(xs, wsize)[None, None, :]
+    gx = tl[:, :, 0, None] + dx2[:, :, 0, None] * lat_x + dy2[:, :, 0, None] * lat_y
+    gy = tl[:, :, 1, None] + dx2[:, :, 1, None] * lat_x + dy2[:, :, 1, None] * lat_y
+    lvl = jnp.broadcast_to(new_level[:, :, None], (T, B, s))
+    iidx = jnp.broadcast_to(idx[:, :, None], (T, B, s))
     if luma and scene.planes_luma_quad is not None:
         tex = sampling.sample_luma_quad(scene, iidx, gx, gy, lvl, illum)
     elif scene.planes_packed is not None:
         tex = sampling.sample_color_ch_packed(scene, iidx, gx, gy, lvl, illum)
     else:
         tex = sampling.sample_color_ch(scene, iidx, gx, gy, lvl, illum)
-    return tex, jnp.ones((T, B), bool)
+    # [C, T, B, S] channel-leading gather output -> windows-major rows
+    channels = tex.shape[0]
+    tex = jnp.moveaxis(tex, 0, 2).reshape(T, B, channels * s)
+    return tex, jnp.ones((T, B), bool), channels
 
 
 def _sample_windows_view_sharded(
@@ -334,16 +483,24 @@ def _sample_windows_view_sharded(
         base = lax.axis_index(axis) * n_local
         local = (idxg >= base) & (idxg < base + n_local)
         lidx = jnp.where(local, idxg - base, 0)
-        tex, fit = sample_windows_raw(
+        tex, fit, _ = sample_windows_raw(
             scn, lidx, tl, dx2, dy2, new_level, wsize, illum, luma,
             group,
         )
-        tex = jnp.where(local[None, :, None, :], tex, 0.0)
+        tex = jnp.where(local[:, :, None], tex, 0.0)
         fit_i = (fit & local).astype(jnp.int32)
         return lax.psum(tex, axis), lax.psum(fit_i, axis)
 
     tex, fit_i = _sample(work, idx, tl, dx2, dy2, new_level)
-    return tex, fit_i > 0
+    # channel count must be derived OUTSIDE shard_map (static): mirror
+    # sample_windows_raw's path selection on the pre-shard scene
+    if luma:
+        channels = 1 if (
+            scene.planes_luma_levels is not None and wsize <= 7
+        ) or scene.planes_luma_quad is not None else 3
+    else:
+        channels = 3
+    return tex, fit_i > 0, channels
 
 
 def incc_cost(tex, valid, minimum):
@@ -352,9 +509,9 @@ def incc_cost(tex, valid, minimum):
     2.0 when the reference window is invalid or fewer than minimum-1
     others are valid.
 
-    tex: [3, T, S, B] normalized; valid: [T, B]; minimum: [B] or scalar.
+    tex: [T, B, L] normalized; valid: [T, B]; minimum: [B] or scalar.
     Returns cost [B]."""
-    dots = tex_dot(tex[:, :1], tex)  # [T, B]
+    dots = tex_dot(tex[:1], tex)  # [T, B]
     r = robustincc(1.0 - dots)
     ok = valid & valid[:1]
     ok = ok.at[0].set(False)
@@ -368,8 +525,8 @@ def incc_cost(tex, valid, minimum):
 def incc_weighted(tex, valid, weights, robust: bool = True):
     """computeINCC aggregation (reference optim.cpp:684-706): weighted
     mean of [robust]incc(1 - dot(ref, other)); 2.0 when no weight.
-    weights: batch-major [B, T]."""
-    dots = tex_dot(tex[:, :1], tex)  # [T, B]
+    tex: [T, B, L]; weights: batch-major [B, T]."""
+    dots = tex_dot(tex[:1], tex)  # [T, B]
     incc = 1.0 - dots
     if robust:
         incc = robustincc(incc)
@@ -385,8 +542,8 @@ def incc_weighted(tex, valid, weights, robust: bool = True):
 def incc_vs_ref(tex, valid, robust: bool):
     """Per-view INCC against the reference view (reference
     optim.cpp:708-746): entry 0 is 0; invalid entries are 2.
-    Returns batch-major [B, T]."""
-    dots = tex_dot(tex[:, :1], tex)  # [T, B]
+    tex: [T, B, L]. Returns batch-major [B, T]."""
+    dots = tex_dot(tex[:1], tex)  # [T, B]
     incc = 1.0 - dots
     if robust:
         incc = robustincc(incc)
@@ -397,11 +554,11 @@ def incc_vs_ref(tex, valid, robust: bool):
 
 def incc_pairwise(tex, valid, robust: bool):
     """All-pairs INCC matrix [B, T, T] (reference optim.cpp:748-783);
-    diagonal 0, invalid pairs 2. tex [3, T, S, B], valid [T, B]."""
+    diagonal 0, invalid pairs 2. tex [T, B, L], valid [T, B]."""
     T, B = valid.shape
-    s = tex.shape[-2]
-    c = tex.shape[0]
-    dots = jnp.einsum("ctsb,cusb->btu", tex, tex) / (c * s)
+    dots = jnp.einsum(
+        "tbl,ubl->btu", tex, tex, precision=jax.lax.Precision.HIGHEST
+    )
     incc = 1.0 - dots
     if robust:
         incc = robustincc(incc)

@@ -464,12 +464,15 @@ def sample_windows(
              fit=False. Cuts DMA descriptors (the kernel's limiting
              resource) by the group factor.
 
-    Returns (tex [C*SPAD, B] RAW sampled windows, channel-major — rows
-    wsize^2.. of each channel block are lattice duplicates to discard —
-    and fit [B] bool, False where the lattice overflowed the DMA
-    bounding tile and the window values are garbage). C = 3 with rgb
-    else 1. Normalization (optim.cpp:917-940) is the caller's batched
-    XLA pass (ncc.normalize_tex).
+    Returns (tex [B, C*SPAD] RAW sampled windows in the kernel's OWN
+    storage order (windows-major rows; within a row channel c occupies
+    lanes [c*SPAD, c*SPAD + wsize^2), the rest of each block being
+    lattice duplicates to discard) and fit [B] bool, False where the
+    lattice overflowed the DMA bounding tile and the window values are
+    garbage. C = 3 with rgb else 1. A transposed return here forces XLA
+    to materialize an ~80 MB relayout per 393k-window batch (measured
+    8 ms — as expensive as the kernel); consumers reduce over lanes
+    instead (ncc.normalize_tex / tex_dot).
     """
     B = img.shape[0]
     if group > 1 and (W_BLK % group != 0 or B % group != 0):
@@ -662,4 +665,4 @@ def sample_windows(
                 syr.reshape(nch, CH, spad),
             ),
         ).reshape(Bp, nchan * spad)
-    return out[:B].T, fit
+    return out[:B], fit

@@ -197,7 +197,7 @@ def test_luma_mode_scores_surface():
     tex, valid = ncc.texs_for_views(
         scene, views, coord, normal, LEVEL, WSIZE, A1, luma=True
     )
-    assert tex.shape[0] == 1  # luma-only channel axis
+    assert tex.shape[-1] == WSIZE * WSIZE  # luma: one channel block
     cost_true = np.asarray(ncc.incc_cost(tex, valid, 3))
     off = coord + jnp.asarray([0.0, 0.0, 0.15, 0.0])
     tex2, valid2 = ncc.texs_for_views(

@@ -101,14 +101,21 @@ def test_invalid_ref_gives_two(scene_pts):
 
 def test_normalize_zero_mean_unit_rms():
     rng = np.random.RandomState(0)
-    # channel-leading batch-minor layout [3, S, B]
-    tex = jnp.asarray(rng.uniform(0, 255, size=(3, 49, 4)), jnp.float32)
-    out = ncc.normalize_tex(tex)
-    means = np.asarray(jnp.mean(out, axis=-2))
-    np.testing.assert_allclose(means, 0.0, atol=1e-3)
-    rms = np.asarray(jnp.sqrt(jnp.sum(out * out, axis=(0, 1)) / (3 * 49)))
-    np.testing.assert_allclose(rms, 1.0, atol=1e-3)
-    # self-dot of a normalized window is 1
+    # windows-major rows [B, L]: 3 channel blocks of spad=56 lanes,
+    # s=49 live samples each (the kernel's literal storage order)
+    spad, s, C, B = 56, 49, 3, 4
+    tex = jnp.asarray(rng.uniform(0, 255, size=(B, C * spad)), jnp.float32)
+    out = ncc.normalize_tex(tex, C, s)
+    o = np.asarray(out)
+    for c in range(C):
+        blk = o[:, c * spad : c * spad + s]
+        # per-channel zero mean (scaled values)
+        np.testing.assert_allclose(blk.mean(axis=-1), 0.0, atol=1e-3)
+        # duplicate lanes zeroed
+        np.testing.assert_allclose(
+            o[:, c * spad + s : (c + 1) * spad], 0.0
+        )
+    # self-dot of a normalized window is 1 (the 1/sqrt(C*S) fold)
     np.testing.assert_allclose(
         np.asarray(ncc.tex_dot(out, out)), 1.0, atol=1e-3
     )

@@ -60,14 +60,14 @@ def test_grouped_sampler_matches_ungrouped():
     assert (fg & v).sum() >= 0.9 * (f1 & v).sum() > 0
     both = f1 & fg & v
     s = WSIZE * WSIZE
-    a = np.asarray(out1)
-    b = np.asarray(outg)
-    spad1 = a.shape[0] // 3
-    spadg = b.shape[0] // 3
+    a = np.asarray(out1)   # [B, 3*spad1] windows-major rows
+    b = np.asarray(outg)   # [B, 3*spadg]
+    spad1 = a.shape[-1] // 3
+    spadg = b.shape[-1] // 3
     for c in range(3):
         np.testing.assert_allclose(
-            b[c * spadg : c * spadg + s][:, both],
-            a[c * spad1 : c * spad1 + s][:, both],
+            b[:, c * spadg : c * spadg + s][both],
+            a[:, c * spad1 : c * spad1 + s][both],
             atol=1e-3,
         )
 

@@ -33,26 +33,28 @@ def test_pallas_matches_jnp_sampler():
     valid = np.asarray(valid)
     assert valid.sum() >= 8
 
-    # jnp luma reference windows, normalized: [1, T=1, S, B] -> [S, B]
+    # jnp luma reference windows, normalized windows-major:
+    # [T=1, B, S] -> [B, S]
     tex_jnp, v2 = nccops.texs_for_views(
         scene, views, coord, normal, LEVEL, WSIZE, A1, luma=True
     )
-    ref = np.asarray(tex_jnp)[0, 0]  # [S, B]
+    S = WSIZE * WSIZE
+    ref = np.asarray(tex_jnp)[0][:, :S]  # [B, S]
 
     levels = pk.luma_levels_from_scene(scene)
     out, fit = pk.sample_windows(
         levels, idx, new_level, tl, dx2, dy2, interpret=True
     )
     assert np.asarray(fit)[np.asarray(valid)].all()
-    # kernel output is RAW samples; normalize like the consumer does
-    raw = out[: WSIZE * WSIZE][None, None]  # [1, 1, S, B]
-    got = np.asarray(nccops.normalize_tex(raw))[0, 0]
+    # kernel output is RAW [B, SPAD] rows; normalize like the consumer
+    got = np.asarray(nccops.normalize_tex(out[None], 1, S))[0][:, :S]
 
-    # compare normalized windows where valid (both zero-mean/unit-RMS)
+    # compare normalized windows where valid (both zero-mean, scaled by
+    # the 1/sqrt(S) fold)
     for b in range(B):
         if not valid[b]:
             continue
-        np.testing.assert_allclose(got[:, b], ref[:, b], atol=5e-2), b
+        np.testing.assert_allclose(got[b], ref[b], atol=1e-2), b
 
 
 def test_texs_for_views_pallas_branch_matches_jnp():
@@ -75,7 +77,9 @@ def test_texs_for_views_pallas_branch_matches_jnp():
     tex_pal, val_pal = nccops.texs_for_views(
         pscene, views, coord, normal, LEVEL, WSIZE, A1, luma=True
     )
-    assert tex_pal.shape == tex_ref.shape == (1, 3, WSIZE * WSIZE, B)
+    S = WSIZE * WSIZE
+    assert tex_ref.shape == (3, B, S)        # gather path: L = S
+    assert tex_pal.shape[:2] == (3, B)       # kernel path: L = SPAD
     vr = np.asarray(val_ref)
     vp = np.asarray(val_pal)
     # pallas validity additionally masks tile-overflow windows
@@ -83,9 +87,9 @@ def test_texs_for_views_pallas_branch_matches_jnp():
     both = vr & vp
     assert both.sum() >= 8
     np.testing.assert_allclose(
-        np.asarray(tex_pal)[0].transpose(0, 2, 1)[both],
-        np.asarray(tex_ref)[0].transpose(0, 2, 1)[both],
-        atol=5e-2,
+        np.asarray(tex_pal)[..., :S][both],
+        np.asarray(tex_ref)[..., :S][both],
+        atol=1e-2,
     )
 
     # the full NCC aggregation agrees too
@@ -95,11 +99,11 @@ def test_texs_for_views_pallas_branch_matches_jnp():
 
 def _check_aggregation(tex_ref, tex_pal, both, w):
     s_ref = nccops.incc_weighted(
-        jnp.where(jnp.asarray(both)[None, :, None, :], tex_ref, 0.0),
+        jnp.where(jnp.asarray(both)[:, :, None], tex_ref, 0.0),
         jnp.asarray(both), w,
     )
     s_pal = nccops.incc_weighted(
-        jnp.where(jnp.asarray(both)[None, :, None, :], tex_pal, 0.0),
+        jnp.where(jnp.asarray(both)[:, :, None], tex_pal, 0.0),
         jnp.asarray(both), w,
     )
     np.testing.assert_allclose(
@@ -128,16 +132,20 @@ def test_texs_for_views_pallas_rgb_matches_jnp():
     tex_pal, val_pal = nccops.texs_for_views(
         pscene, views, coord, normal, LEVEL, WSIZE, A1
     )
-    assert tex_pal.shape == tex_ref.shape == (3, 3, WSIZE * WSIZE, B)
+    S = WSIZE * WSIZE
+    assert tex_ref.shape == (3, B, 3 * S)    # gather: 3 blocks of S
+    assert tex_pal.shape[:2] == (3, B)       # kernel: 3 blocks of SPAD
+    spad = tex_pal.shape[-1] // 3
     vr = np.asarray(val_ref)
     vp = np.asarray(val_pal)
     both = vr & vp
     assert both.sum() >= 8
-    np.testing.assert_allclose(
-        np.asarray(tex_pal).transpose(1, 3, 0, 2)[both],
-        np.asarray(tex_ref).transpose(1, 3, 0, 2)[both],
-        atol=5e-2,
-    )
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(tex_pal)[..., c * spad : c * spad + S][both],
+            np.asarray(tex_ref)[..., c * S : (c + 1) * S][both],
+            atol=1e-2,
+        )
     w = jnp.ones((B, 3), jnp.float32)
     _check_aggregation(tex_ref, tex_pal, both, w)
 

@@ -107,7 +107,7 @@ def main() -> int:
         )(levels, *args)
         ref = np.asarray(ref)
         m = fit & np.asarray(valid)
-        err = float(np.max(np.abs(out[:, m] - ref[:, m]))) if m.any() else 0.0
+        err = float(np.max(np.abs(out[m] - ref[m]))) if m.any() else 0.0
         print(
             f"[{name}] {time.time()-t0:.1f}s  fit={fit.mean():.2f}  "
             f"max|tpu-interp|={err:.2e}",
