@@ -84,9 +84,11 @@ def main() -> None:
     # dinoSparseRing-scale scene (16 views, 640x480, level 1)
     n_views, w, h = 16, 640, 480
     level, wsize, tau = 1, 7, 6
-    rounds_lo = int(os.environ.get("BENCH_ROUNDS_LO", 12))
-    rounds_hi = int(os.environ.get("BENCH_ROUNDS_HI", 24))
-    cands = 8
+    rounds_lo = int(os.environ.get("BENCH_ROUNDS_LO", 6))
+    rounds_hi = int(
+        os.environ.get("BENCH_ROUNDS_HI", defaults.refine_rounds)
+    )
+    cands = int(os.environ.get("BENCH_CANDS", defaults.refine_cands))
     B = int(os.environ.get("BENCH_BATCH", 8192))
     a1 = math.radians(60.0)
 
@@ -132,7 +134,8 @@ def main() -> None:
                 scene, coord, normal, images, dscale, key,
                 level=level, wsize=wsize, tau=tau, min_image_num=3,
                 angle_threshold1=a1, ascale=math.pi / 48.0,
-                rounds=rounds, n_cands=cands, shrink=0.98,
+                rounds=rounds, n_cands=cands,
+                shrink=defaults.refine_shrink,
                 init_depth_radius=4.0, init_angle_radius=8.0,
                 luma=luma, group_dma=defaults.refine_group_dma,
             )

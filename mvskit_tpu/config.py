@@ -57,9 +57,15 @@ class MVSConfig:
     ascale: float = math.pi / 48.0           # angle encoding scale
     # (the +-23.99999 encoded-angle bound of optim.cpp:496-497 is the
     # fixed ANGLE_BOUND constant in pipeline/refine.py, not a knob)
-    refine_rounds: int = 24                  # TPU random-search: rounds
-    refine_cands: int = 8                    # candidates per round
-    refine_shrink: float = 0.8               # radius decay per round
+    # 12 rounds x 16 candidates (193 evals with the initial one, the
+    # budget analog of the reference's maxeval) beats 24 x 8 on-chip:
+    # a round's candidates share one DMA'd tile (refine_group_dma), so
+    # doubling the group halves the kernel's DMA descriptors per eval
+    # — measured 21.6 -> 15.0 ms per 393k-window round. The shrink is
+    # squared to keep the same final trust radius (0.64^12 = 0.8^24).
+    refine_rounds: int = 12                  # TPU random-search: rounds
+    refine_cands: int = 16                   # candidates per round
+    refine_shrink: float = 0.64              # radius decay per round
     refine_init_depth_radius: float = 4.0    # in encoded (dscale) units
     refine_init_angle_radius: float = 8.0    # in encoded (ascale) units
     refine_group_dma: bool = True            # share one Pallas DMA tile
