@@ -193,7 +193,9 @@ def main() -> None:
             print(f"  rep {i}: {d1*1e3:.0f} ms (latency {latency*1e3:.0f})",
                   file=sys.stderr)
         dt = max(1e-9, min(times) - latency)
-        evals_delta = 1 + rounds_hi * cands
+        # rounds * cands evaluations: the start pose scores as round
+        # 0's pinned candidate 0 (pipeline/refine.py), no extra pass
+        evals_delta = rounds_hi * cands
 
     samples = B * evals_delta * tau * wsize * wsize
     msps = samples / dt / 1e6

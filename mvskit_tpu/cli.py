@@ -53,7 +53,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="random-search rounds per refinement")
     p.add_argument("--refine-cands", type=int, default=None,
                    help="candidates per refinement round")
+    p.add_argument("--strategy", default=None,
+                   choices=("pm_image", "pmvs"),
+                   help="propagation strategy (reference live path "
+                        "pm_image, or the PMVS-style expansion)")
+    p.add_argument("--mesh", default=None, metavar="DP,VIEW,TILE",
+                   help="device mesh shape, e.g. 1,2,4: dp shards "
+                        "patch rows, view shards pyramid planes "
+                        "(psum NCC combine), tile shards cell-grid "
+                        "rows (ppermute halo propagation)")
     return p
+
+
+def parse_mesh(spec: str):
+    parts = [int(x) for x in spec.split(",")]
+    if len(parts) != 3 or any(x < 1 for x in parts):
+        raise ValueError(f"--mesh wants DP,VIEW,TILE >= 1, got {spec!r}")
+    return parts
 
 
 def main(argv=None) -> int:
@@ -82,6 +98,10 @@ def main(argv=None) -> int:
         cfg.refine_rounds = args.refine_rounds
     if args.refine_cands is not None:
         cfg.refine_cands = args.refine_cands
+    if args.strategy is not None:
+        cfg.strategy = args.strategy
+    if args.mesh is not None:
+        cfg.mesh_dp, cfg.mesh_view, cfg.mesh_tile = parse_mesh(args.mesh)
     print(cfg.summary(), file=sys.stderr)
 
     engine = PMMVS(cfg, log=lambda *a: print(*a, file=sys.stderr))

@@ -57,8 +57,9 @@ class MVSConfig:
     ascale: float = math.pi / 48.0           # angle encoding scale
     # (the +-23.99999 encoded-angle bound of optim.cpp:496-497 is the
     # fixed ANGLE_BOUND constant in pipeline/refine.py, not a knob)
-    # 12 rounds x 16 candidates (193 evals with the initial one, the
-    # budget analog of the reference's maxeval) beats 24 x 8 on-chip:
+    # 12 rounds x 16 candidates (192 evals — the start pose scores as
+    # round 0's pinned candidate 0, the budget analog of the
+    # reference's maxeval) beats 24 x 8 on-chip:
     # a round's candidates share one DMA'd tile (refine_group_dma), so
     # doubling the group halves the kernel's DMA descriptors per eval
     # — measured 21.6 -> 15.0 ms per 393k-window round. The shrink is
@@ -99,6 +100,18 @@ class MVSConfig:
     use_pallas: bool = True                  # tile-DMA sampling kernel for
                                              # NCC windows (auto-off when the
                                              # backend is not a real TPU)
+    # device mesh shape (dp, view, tile) — the three greenfield
+    # parallel axes of SURVEY.md §2 (the reference is single-threaded,
+    # propagate.cpp:78-121 sweeps one cell at a time). dp shards the
+    # patch-table rows (GSPMD), view shards the pyramid planes with a
+    # psum cross-view NCC combine (parallel/shard.py), tile shards the
+    # cell-grid rows with a ppermute propagation halo
+    # (parallel/tiles.py). The product must divide the visible device
+    # count; all 1 = single-device execution (identical results:
+    # tests/test_driver_mesh.py).
+    mesh_dp: int = 1
+    mesh_view: int = 1
+    mesh_tile: int = 1
     strategy: str = "pm_image"               # "pm_image" | "pmvs"
     prop_rounds: int = 8                     # checkerboard rounds per outer iter
     donor_budget: int = 16384                # max donors per propagation phase

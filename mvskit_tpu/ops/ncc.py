@@ -60,6 +60,60 @@ def _unit_ray_to_camera(scene: Scene, index, coord):
     return ray / n[..., None]
 
 
+def _window_tail(scene: Scene, c_xy, dx, dy, level: int, wsize: int):
+    """Shared tail of window_geometry / window_geometry_views: footprint
+    ratio -> level shift -> rescaled lattice steps -> border-safety
+    check -> lattice origin (reference optim.cpp:806-822).
+
+    Returns (tl[..., 2], dx2[..., 2], dy2[..., 2], new_level[...],
+    valid_safe[...])."""
+    n_levels = scene.lvl_widths.shape[0]
+    # the +-2 level_diff clamp below can reach level+2, so the scene
+    # must carry at least level+3 pyramid levels (the reference builds
+    # m_level+3, pmmvps.cpp:36) or windows would silently vanish in the
+    # static level-size sweep — fail loudly at trace time instead
+    assert n_levels >= level + 3, (
+        f"scene has {n_levels} pyramid levels; getTex at level {level} "
+        f"needs >= {level + 3} (reference pmmvps.cpp:36)"
+    )
+    ratio = (
+        jnp.sqrt(jnp.maximum(jnp.sum(dx * dx, axis=-1), 1e-20))
+        + jnp.sqrt(jnp.maximum(jnp.sum(dy * dy, axis=-1), 1e-20))
+    ) / 2.0
+    level_diff = jnp.floor(jnp.log2(ratio) + 0.5).astype(jnp.int32)
+    level_diff = jnp.clip(level_diff, -level, 2)
+    scale = jnp.exp2(level_diff.astype(jnp.float32))
+    new_level = level + level_diff
+
+    c2 = c_xy / scale[..., None]
+    dx2 = dx / scale[..., None]
+    dy2 = dy / scale[..., None]
+
+    margin = wsize // 2
+    half = dx2 * margin
+    halfy = dy2 * margin
+    minxy = c2 - jnp.abs(half) - jnp.abs(halfy)
+    maxxy = c2 + jnp.abs(half) + jnp.abs(halfy)
+    # level-size lookup as a static one-hot sweep over the (few) levels
+    # (fuses into one VPU pass; new_level is in range by the clamp +
+    # the trace-time assert above)
+    w_l = jnp.zeros(new_level.shape, jnp.float32)
+    h_l = jnp.zeros(new_level.shape, jnp.float32)
+    for l in range(n_levels):
+        ml = new_level == l
+        w_l = jnp.where(ml, scene.lvl_widths[l].astype(jnp.float32), w_l)
+        h_l = jnp.where(ml, scene.lvl_heights[l].astype(jnp.float32), h_l)
+    margin2 = 2.0
+    valid_safe = (
+        (minxy[..., 0] >= margin2)
+        & (maxxy[..., 0] < w_l - 1.0 - margin2)
+        & (minxy[..., 1] >= margin2)
+        & (maxxy[..., 1] < h_l - 1.0 - margin2)
+    )
+    tl = c2 - half - halfy
+    return tl, dx2, dy2, new_level, valid_safe
+
+
 def window_geometry(
     scene: Scene, idx, coord, pxaxis, pyaxis, normal, level: int,
     wsize: int, angle_threshold1: float,
@@ -80,35 +134,10 @@ def window_geometry(
     dx = px_xy - c_xy
     dy = py_xy - c_xy
 
-    ratio = (
-        jnp.sqrt(jnp.maximum(jnp.sum(dx * dx, axis=-1), 1e-20))
-        + jnp.sqrt(jnp.maximum(jnp.sum(dy * dy, axis=-1), 1e-20))
-    ) / 2.0
-    level_diff = jnp.floor(jnp.log2(ratio) + 0.5).astype(jnp.int32)
-    level_diff = jnp.clip(level_diff, -level, 2)
-    scale = jnp.exp2(level_diff.astype(jnp.float32))
-    new_level = level + level_diff
-
-    c2 = c_xy / scale[..., None]
-    dx2 = dx / scale[..., None]
-    dy2 = dy / scale[..., None]
-
-    margin = wsize // 2
-    half = dx2 * margin
-    halfy = dy2 * margin
-    minxy = c2 - jnp.abs(half) - jnp.abs(halfy)
-    maxxy = c2 + jnp.abs(half) + jnp.abs(halfy)
-    w_l = scene.lvl_widths[new_level].astype(jnp.float32)
-    h_l = scene.lvl_heights[new_level].astype(jnp.float32)
-    margin2 = 2.0
-    valid_safe = (
-        (minxy[..., 0] >= margin2)
-        & (maxxy[..., 0] < w_l - 1.0 - margin2)
-        & (minxy[..., 1] >= margin2)
-        & (maxxy[..., 1] < h_l - 1.0 - margin2)
+    tl, dx2, dy2, new_level, valid_safe = _window_tail(
+        scene, c_xy, dx, dy, level, wsize
     )
     valid = valid_angle & valid_safe & c_ok
-    tl = c2 - half - halfy
     return tl, dx2, dy2, new_level, valid
 
 
@@ -140,19 +169,21 @@ def window_geometry_views(
     qy = jnp.dot(pyaxis, Pcat, precision=prec).reshape(B, V, 3)
 
     # viewing-angle gate dense over views: weight = max(0,
-    # dot(unit(center_v - c), normal)) (_unit_ray_to_camera + _dot4)
+    # dot(unit(center_v - c), normal)) (_unit_ray_to_camera + _dot4).
+    # The ray norm is computed subtract-then-square ([B, V, 3] diff, a
+    # few VPU passes vs the 9-component projection matmuls above): the
+    # expanded |c|^2 - 2 c.cen + |cen|^2 form cancels catastrophically
+    # when the patch-camera distance is small relative to the
+    # coordinate magnitudes and can flip the gate near the
+    # cos(angle_threshold1) boundary (round-4 advisor finding).
     c3 = coord[:, :3]
     n3 = normal[:, :3]
     cen = cams.center[:, :3].astype(jnp.float32)            # [V, 3]
-    cn = jnp.dot(n3, cen.T, precision=prec)                 # [B, V]
-    cc = jnp.dot(c3, cen.T, precision=prec)                 # [B, V]
-    d2 = (
-        jnp.sum(c3 * c3, axis=-1, keepdims=True)
-        - 2.0 * cc
-        + jnp.sum(cen * cen, axis=-1)[None, :]
+    diff = cen[None, :, :] - c3[:, None, :]                 # [B, V, 3]
+    rnorm = jnp.sqrt(
+        jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-20)
     )
-    rnorm = jnp.sqrt(jnp.maximum(d2, 1e-20))
-    wraw = (cn - jnp.sum(c3 * n3, axis=-1, keepdims=True)) / rnorm
+    wraw = jnp.sum(diff * n3[:, None, :], axis=-1) / rnorm  # [B, V]
     ang_ok = jnp.maximum(0.0, wraw) >= math.cos(angle_threshold1)
 
     # static one-hot selection of the T live views (V <= ~50 static
@@ -183,40 +214,10 @@ def window_geometry_views(
     dx = px_xy - c_xy
     dy = py_xy - c_xy
 
-    ratio = (
-        jnp.sqrt(jnp.maximum(jnp.sum(dx * dx, axis=-1), 1e-20))
-        + jnp.sqrt(jnp.maximum(jnp.sum(dy * dy, axis=-1), 1e-20))
-    ) / 2.0
-    level_diff = jnp.floor(jnp.log2(ratio) + 0.5).astype(jnp.int32)
-    level_diff = jnp.clip(level_diff, -level, 2)
-    scale = jnp.exp2(level_diff.astype(jnp.float32))
-    new_level = level + level_diff
-
-    c2 = c_xy / scale[..., None]
-    dx2 = dx / scale[..., None]
-    dy2 = dy / scale[..., None]
-
-    margin = wsize // 2
-    half = dx2 * margin
-    halfy = dy2 * margin
-    minxy = c2 - jnp.abs(half) - jnp.abs(halfy)
-    maxxy = c2 + jnp.abs(half) + jnp.abs(halfy)
-    # level-size lookup as a static one-hot sweep over the (few) levels
-    w_l = jnp.zeros(new_level.shape, jnp.float32)
-    h_l = jnp.zeros(new_level.shape, jnp.float32)
-    for l in range(scene.lvl_widths.shape[0]):
-        ml = new_level == l
-        w_l = jnp.where(ml, scene.lvl_widths[l].astype(jnp.float32), w_l)
-        h_l = jnp.where(ml, scene.lvl_heights[l].astype(jnp.float32), h_l)
-    margin2 = 2.0
-    valid_safe = (
-        (minxy[..., 0] >= margin2)
-        & (maxxy[..., 0] < w_l - 1.0 - margin2)
-        & (minxy[..., 1] >= margin2)
-        & (maxxy[..., 1] < h_l - 1.0 - margin2)
+    tl, dx2, dy2, new_level, valid_safe = _window_tail(
+        scene, c_xy, dx, dy, level, wsize
     )
     valid = sel_ang & valid_safe & c_ok
-    tl = c2 - half - halfy
     # materialize the per-window geometry ONCE, as [T, B] scalar planes
     # (good (8,128) tiling). Without this barrier XLA fuses the V-step
     # one-hot select into the sampler's per-LANE operand prep and

@@ -434,58 +434,38 @@ def _make_kernel(
     return kernel
 
 
-def sample_windows(
-    levels: Sequence[jnp.ndarray],
-    img,
-    lvl,
-    tl,
-    dx,
-    dy,
-    wsize: int = 7,
-    rgb: bool = False,
-    interpret: bool = False,
-    ablate: str = "",
-    group: int = 1,
-    fused: bool = False,
-):
-    """Fused sample+normalize for a window batch.
+def padded_level_shapes(scene) -> Tuple[Tuple[int, int], ...]:
+    """(h, w) of each padded kernel plane as _split_pad_levels builds
+    them, WITHOUT materializing the planes — for measurement tools that
+    need the shipped fit geometry only (tools/measure_divergences.py)."""
+    tile_h, tile_w, _ = _tile_dims(7)
+    gh, gw, _ = _tile_dims(7, group=2)
+    tile_h, tile_w = max(tile_h, gh), max(tile_w, gw)
+    return tuple(
+        (
+            _round_up(max(hl, tile_h), 8),
+            _round_up(max(wl, tile_w), 128),
+        )
+        for wl, hl in zip(scene.widths, scene.heights)
+    )
 
-    levels : per-level [n*I, h_l, w_l] planes — f32 luminance, or
-             packed-RGB int32 with rgb=True
-    img    : [B] view*illum plane index
-    lvl    : [B] resolved pyramid level of each window
-    tl     : [B, 2] lattice origin (pixel coords at `lvl`)
-    dx, dy : [B, 2] lattice steps
-    group  : every `group` CONSECUTIVE windows share one DMA'd tile
-             (refinement candidates of the same patch x view: same img,
-             near-identical geometry). The shared tile is the bbox of
-             the members that resolve to member 0's pyramid level;
-             members at another level or escaping the tile get
-             fit=False. Cuts DMA descriptors (the kernel's limiting
-             resource) by the group factor.
 
-    Returns (tex [B, C*SPAD] RAW sampled windows in the kernel's OWN
-    storage order (windows-major rows; within a row channel c occupies
-    lanes [c*SPAD, c*SPAD + wsize^2), the rest of each block being
-    lattice duplicates to discard) and fit [B] bool, False where the
-    lattice overflowed the DMA bounding tile and the window values are
-    garbage. C = 3 with rgb else 1. A transposed return here forces XLA
-    to materialize an ~80 MB relayout per 393k-window batch (measured
-    8 ms — as expensive as the kernel); consumers reduce over lanes
-    instead (ncc.normalize_tex / tex_dot).
-    """
+def plan_tiles(hs, ws, img, lvl, tl, dx, dy, wsize: int, group: int):
+    """The pure-XLA tile-planning half of sample_windows: per-window
+    (or per-group) DMA tile origin + the exact fit mask saying whether
+    every sample's 2x2 interpolation support lands inside the compact
+    tile. This is the shipped semantics of DIVERGENCES A11 (ungrouped
+    tile overflow) and A12 (grouped candidates losing a view), so the
+    measurement tool calls exactly this function.
+
+    hs/ws: [B] padded plane height/width of each window's level.
+    Returns (fit[B], x0e_w[B], y0_w[B], y0[G], x0a[G], off[G],
+    img_g[G], lvl_g[G]) with G = B // group."""
     B = img.shape[0]
-    if group > 1 and (W_BLK % group != 0 or B % group != 0):
-        group = 1
-    n_levels = len(levels)
-    tile_h, tile_w, spad = _tile_dims(wsize, group)
+    tile_h, tile_w, _ = _tile_dims(wsize, group)
     cw = _compact_w(group)
-    # off-TPU (CPU test runs) Mosaic cannot compile: use interpret mode
-    interpret = interpret or jax.default_backend() != "tpu"
     # tile origin: floor(lattice bbox min) minus a 2px guard, clamped
     # to keep the tile inside the (padded) level plane
-    hs = jnp.asarray([l.shape[1] for l in levels], jnp.int32)[lvl]
-    ws = jnp.asarray([l.shape[2] for l in levels], jnp.int32)[lvl]
     m = float(wsize - 1)
     cx = jnp.stack(
         [
@@ -545,7 +525,7 @@ def sample_windows(
         ).reshape(B)
         img_g = img.reshape(G, group)[:, 0]
         lvl_g = lv[:, 0]
-        # per-window tile origin for the sample coords below
+        # per-window tile origin for the sample coords
         x0e_w = jnp.repeat(x0e, group)
         y0_w = jnp.repeat(y0, group)
     else:
@@ -582,6 +562,62 @@ def sample_windows(
         )
         img_g, lvl_g = img, lvl
         x0e_w, y0_w = x0e, y0
+    return fit, x0e_w, y0_w, y0, x0a, off, img_g, lvl_g
+
+
+def sample_windows(
+    levels: Sequence[jnp.ndarray],
+    img,
+    lvl,
+    tl,
+    dx,
+    dy,
+    wsize: int = 7,
+    rgb: bool = False,
+    interpret: bool = False,
+    ablate: str = "",
+    group: int = 1,
+    fused: bool = False,
+):
+    """Fused sample+normalize for a window batch.
+
+    levels : per-level [n*I, h_l, w_l] planes — f32 luminance, or
+             packed-RGB int32 with rgb=True
+    img    : [B] view*illum plane index
+    lvl    : [B] resolved pyramid level of each window
+    tl     : [B, 2] lattice origin (pixel coords at `lvl`)
+    dx, dy : [B, 2] lattice steps
+    group  : every `group` CONSECUTIVE windows share one DMA'd tile
+             (refinement candidates of the same patch x view: same img,
+             near-identical geometry). The shared tile is the bbox of
+             the members that resolve to member 0's pyramid level;
+             members at another level or escaping the tile get
+             fit=False. Cuts DMA descriptors (the kernel's limiting
+             resource) by the group factor.
+
+    Returns (tex [B, C*SPAD] RAW sampled windows in the kernel's OWN
+    storage order (windows-major rows; within a row channel c occupies
+    lanes [c*SPAD, c*SPAD + wsize^2), the rest of each block being
+    lattice duplicates to discard) and fit [B] bool, False where the
+    lattice overflowed the DMA bounding tile and the window values are
+    garbage. C = 3 with rgb else 1. A transposed return here forces XLA
+    to materialize an ~80 MB relayout per 393k-window batch (measured
+    8 ms — as expensive as the kernel); consumers reduce over lanes
+    instead (ncc.normalize_tex / tex_dot).
+    """
+    B = img.shape[0]
+    if group > 1 and (W_BLK % group != 0 or B % group != 0):
+        group = 1
+    n_levels = len(levels)
+    tile_h, tile_w, spad = _tile_dims(wsize, group)
+    cw = _compact_w(group)
+    # off-TPU (CPU test runs) Mosaic cannot compile: use interpret mode
+    interpret = interpret or jax.default_backend() != "tpu"
+    hs = jnp.asarray([l.shape[1] for l in levels], jnp.int32)[lvl]
+    ws = jnp.asarray([l.shape[2] for l in levels], jnp.int32)[lvl]
+    fit, x0e_w, y0_w, y0, x0a, off, img_g, lvl_g = plan_tiles(
+        hs, ws, img, lvl, tl, dx, dy, wsize, group
+    )
 
     # per-window sample coordinates RELATIVE to the tile origin,
     # precomputed in XLA (the kernel reads one [1, spad] row each):

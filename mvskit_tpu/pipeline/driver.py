@@ -91,11 +91,42 @@ class PMMVS:
             from ..ops import pallas_ncc as _pk
 
             self.scene = _pk.enable_pallas(self.scene)
-        # view sharding (TP analog): pyramid planes sharded over the
-        # mesh's view axis; every NCC window fetch in the gauntlet and
-        # the filters runs under shard_map with a psum cross-view
-        # combine (parallel/shard.enable_view_sharding). Composes with
-        # the Pallas kernel — each chip samples its own plane shard.
+        # device mesh (cfg.mesh_dp, cfg.mesh_view, cfg.mesh_tile): the
+        # driver builds one mesh carrying all three greenfield parallel
+        # axes (SURVEY.md §2) and routes each stage accordingly —
+        #   dp:   patch-table rows sharded, stages partition via GSPMD;
+        #   view: pyramid planes sharded, every NCC window fetch runs
+        #         under shard_map with a psum cross-view combine
+        #         (parallel/shard.enable_view_sharding), composing with
+        #         the Pallas kernel — each chip samples its own shard;
+        #   tile: propagation runs parallel/tiles.tiled_propagate_round
+        #         (tile-local grid build, merged donor top-k, ppermute
+        #         halo full-cell gate).
+        self.mesh = None
+        n_mesh = cfg.mesh_dp * cfg.mesh_view * cfg.mesh_tile
+        if n_mesh > 1:
+            from jax.sharding import Mesh
+
+            devs = jax.devices()
+            if len(devs) < n_mesh:
+                raise ValueError(
+                    f"mesh ({cfg.mesh_dp},{cfg.mesh_view},"
+                    f"{cfg.mesh_tile}) needs {n_mesh} devices, have "
+                    f"{len(devs)}"
+                )
+            self.mesh = Mesh(
+                np.asarray(devs[:n_mesh]).reshape(
+                    cfg.mesh_dp, cfg.mesh_view, cfg.mesh_tile
+                ),
+                ("dp", "view", "tile"),
+            )
+            if cfg.mesh_view > 1:
+                from ..parallel import shard as _sh
+
+                self.scene = _sh.enable_view_sharding(
+                    self.scene, self.mesh, axis="view"
+                )
+        # legacy single-axis view mesh (kept for direct callers/tests)
         if view_mesh is not None:
             from ..parallel import shard as _sh
 
@@ -112,6 +143,19 @@ class PMMVS:
             pr.propagate_round,
             static_argnames=("p", "direction", "use_depth", "row_limit"),
         )
+        # tile axis > 1: propagation goes through the row-sharded round
+        # (observationally identical to propagate_round under the same
+        # key — tests/test_tiles.py, tests/test_driver_mesh.py)
+        self._tiled_step = None
+        if self.mesh is not None and cfg.mesh_tile > 1:
+            from ..parallel import tiles as _tiles
+
+            self._tiled_step = jax.jit(
+                functools.partial(
+                    _tiles.tiled_propagate_round, self.mesh
+                ),
+                static_argnames=("p", "direction", "use_depth"),
+            )
         # compaction keeps alive rows in a prefix so every row loop and
         # grid-build sort bounds itself to the live prefix (row_limit
         # static args, quantized to powers of two to bound jit variants)
@@ -248,6 +292,13 @@ class PMMVS:
         self.table = seedmod.seed(
             self.scene, self.cfg, self.cfg.prefix, resume_iter
         )
+        if self.mesh is not None and self.cfg.mesh_dp > 1:
+            # DP: table rows sharded across the mesh; every stage is an
+            # array program, so GSPMD partitions it from the input
+            # shardings (validated end-to-end in dryrun_multichip)
+            from ..parallel import shard as _sh
+
+            self.table = _sh.shard_table(self.table, self.mesh, axis="dp")
         self.depth = 1
         n = int(np.asarray(self.table.n_alive()))
         # seeds fill a prefix (from_numpy), so the live-row bound is n
@@ -292,6 +343,26 @@ class PMMVS:
             return total
         N = self.table.capacity
         for _ in range(self.cfg.prop_rounds):
+            if self._tiled_step is not None:
+                # row-sharded round (SP/CP): same key stream and
+                # params, identical output (parallel/tiles.py)
+                self.table, stats = self._tiled_step(
+                    self.scene,
+                    self.table,
+                    self._next_key(),
+                    p=self.prop_params,
+                    direction=direction,
+                    ncc_threshold=jnp.float32(self.ncc_threshold),
+                    ncc_threshold_before=jnp.float32(
+                        self.ncc_threshold_before
+                    ),
+                    use_depth=self.depth > 0,
+                    quad_threshold=jnp.float32(self.cfg.quad_threshold),
+                )
+                total = stats if total is None else pr.RoundStats(
+                    *(a + b for a, b in zip(total, stats))
+                )
+                continue
             # live-row bound: grows at most by the accepted hypotheses
             # of a round (insertions fill the lowest dead rows first),
             # so bumping by the hypothesis count is a sound no-sync

@@ -120,7 +120,9 @@ def refine_batch(
     optim.cpp:470-547). `images` is the fixed view list for the whole
     refinement (the reference snapshots m_indexes); entry 0 is the
     reference view. Total cost evaluations per patch:
-    1 + rounds * n_cands (budget analog of the reference's maxeval).
+    rounds * n_cands (budget analog of the reference's maxeval; the
+    starting pose scores as round 0's pinned candidate 0 instead of a
+    separate ungrouped pass).
 
     group_dma: on the Pallas path, the n_cands jittered candidates of
     each round share one DMA tile per (patch, view) — n_cands x fewer
@@ -157,21 +159,34 @@ def refine_batch(
             luma=luma, n_illums=n_illums,
         )
 
+    # The starting pose p0 is NOT evaluated in a separate pass: round 0
+    # pins candidate 0's jitter to zero, so p0 scores inside the first
+    # GROUPED batch (it is the group's member 0, so the shared DMA tile
+    # is built around it — exact sampling) and best_c starts at +inf.
+    # This removes the one ungrouped (slowest-form) evaluation the
+    # round-3 design paid per refinement; the total budget is
+    # rounds * n_cands evaluations (the analog of the reference's
+    # maxeval, optim.cpp:487).
     best_p = p0
-    best_c = cost_of(p0)
+    best_c = jnp.full((B,), jnp.inf, jnp.float32)
 
     radius0 = jnp.asarray(
         [init_depth_radius, init_angle_radius, init_angle_radius],
         jnp.float32,
     )
 
-    def round_body(carry, rkey):
+    def round_body(carry, xs):
+        rkey, is_first = xs
         best_p, best_c, radius = carry
         delta = (
             jax.random.uniform(
                 rkey, (B, n_cands, 3), minval=-1.0, maxval=1.0
             )
             * radius
+        )
+        # round 0: candidate 0 is the unperturbed starting pose
+        delta = jnp.where(
+            is_first, delta.at[:, 0, :].set(0.0), delta
         )
         cand = best_p[:, None, :] + delta
         cand = cand.at[:, :, 1:].set(
@@ -216,10 +231,14 @@ def refine_batch(
         best_c = jnp.where(improved, cbest, best_c)
         return (best_p, best_c, radius * shrink), None
 
-    keys = jax.random.split(key, rounds)
-    (best_p, best_c, _), _ = lax.scan(
-        round_body, (best_p, best_c, radius0), keys
-    )
+    if rounds > 0:
+        keys = jax.random.split(key, rounds)
+        first = jnp.arange(rounds) == 0
+        (best_p, best_c, _), _ = lax.scan(
+            round_body, (best_p, best_c, radius0), (keys, first)
+        )
+    else:  # degenerate budget: score the start pose only
+        best_c = cost_of(p0)
 
     # optional gradient polish: the NCC objective is differentiable in
     # the 3 encoded parameters through the bilinear warp (a capability

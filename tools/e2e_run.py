@@ -52,6 +52,13 @@ def main() -> int:
     ap.add_argument("--geometry", default="plane",
                     choices=("plane", "sphere"))
     ap.add_argument("--nillums", type=int, default=1)
+    ap.add_argument("--strategy", default=None,
+                    choices=("pm_image", "pmvs"))
+    ap.add_argument("--luma-refine", type=int, default=None,
+                    help="override config.luma_refine (1/0) for the "
+                         "luma-vs-RGB search A/B")
+    ap.add_argument("--mesh", default=None, metavar="DP,VIEW,TILE",
+                    help="device mesh shape (see cli.py --mesh)")
     args = ap.parse_args()
 
     import jax
@@ -94,6 +101,14 @@ def main() -> int:
         cfg.prop_rounds = args.prop_rounds
     if args.donor_budget is not None:
         cfg.donor_budget = args.donor_budget
+    if args.strategy is not None:
+        cfg.strategy = args.strategy
+    if args.luma_refine is not None:
+        cfg.luma_refine = bool(args.luma_refine)
+    if args.mesh is not None:
+        from mvskit_tpu.cli import parse_mesh
+
+        cfg.mesh_dp, cfg.mesh_view, cfg.mesh_tile = parse_mesh(args.mesh)
     print(cfg.summary(), file=sys.stderr)
 
     stages = []  # (name, seconds, extra-dict)
@@ -204,6 +219,9 @@ def main() -> int:
             "level": cfg.level, "csize": cfg.csize, "wsize": cfg.wsize,
             "refine_rounds": cfg.refine_rounds,
             "refine_cands": cfg.refine_cands,
+            "strategy": cfg.strategy,
+            "luma_refine": cfg.luma_refine,
+            "mesh": [cfg.mesh_dp, cfg.mesh_view, cfg.mesh_tile],
             "use_pallas": bool(
                 cfg.use_pallas and jax.default_backend() == "tpu"
             ),
