@@ -57,16 +57,19 @@ class MVSConfig:
     ascale: float = math.pi / 48.0           # angle encoding scale
     # (the +-23.99999 encoded-angle bound of optim.cpp:496-497 is the
     # fixed ANGLE_BOUND constant in pipeline/refine.py, not a knob)
-    # 12 rounds x 16 candidates (192 evals — the start pose scores as
+    # 6 rounds x 32 candidates (192 evals — the start pose scores as
     # round 0's pinned candidate 0, the budget analog of the
-    # reference's maxeval) beats 24 x 8 on-chip:
-    # a round's candidates share one DMA'd tile (refine_group_dma), so
-    # doubling the group halves the kernel's DMA descriptors per eval
-    # — measured 21.6 -> 15.0 ms per 393k-window round. The shrink is
-    # squared to keep the same final trust radius (0.64^12 = 0.8^24).
-    refine_rounds: int = 12                  # TPU random-search: rounds
-    refine_cands: int = 16                   # candidates per round
-    refine_shrink: float = 0.64              # radius decay per round
+    # reference's maxeval). A round's candidates share one DMA'd tile
+    # (refine_group_dma), so doubling the group halves the kernel's
+    # DMA descriptors per eval: on-chip bench 24x8 -> 12x16 -> 6x32
+    # measured 385 -> 1118 -> 1247 Msamples/s. Search quality at the
+    # same budget is parity (perturbed-start recovery, plane frac<.05
+    # 0.92 vs 0.95, sphere err_med 0.039 vs 0.050 — better; PERF.md).
+    # The shrink is squared per halving so the final trust radius is
+    # unchanged (0.4096^6 = 0.64^12 = 0.8^24).
+    refine_rounds: int = 6                   # TPU random-search: rounds
+    refine_cands: int = 32                   # candidates per round
+    refine_shrink: float = 0.4096            # radius decay per round
     refine_init_depth_radius: float = 4.0    # in encoded (dscale) units
     refine_init_angle_radius: float = 8.0    # in encoded (ascale) units
     refine_group_dma: bool = True            # share one Pallas DMA tile

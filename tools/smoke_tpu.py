@@ -113,7 +113,7 @@ def main() -> int:
             f"max|tpu-interp|={err:.2e}",
             file=sys.stderr,
         )
-        if err > 1e-2 or not np.isfinite(out[:, m]).all():
+        if err > 1e-2 or not np.isfinite(out[m]).all():
             print(f"SMOKE FAIL [{name}]: numeric mismatch vs interpret",
                   file=sys.stderr)
             ok = False
