@@ -138,6 +138,11 @@ def main() -> None:
                 shrink=defaults.refine_shrink,
                 init_depth_radius=4.0, init_angle_radius=8.0,
                 luma=luma, group_dma=defaults.refine_group_dma,
+                rgb_tail=int(
+                    os.environ.get(
+                        "BENCH_RGB_TAIL", defaults.refine_rgb_tail
+                    )
+                ),
             )
             return res.ncc
 

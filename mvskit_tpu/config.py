@@ -76,18 +76,40 @@ class MVSConfig:
                                              # across a round's n_cands
     refine_grad_steps: int = 0               # differentiable polish steps
     refine_grad_lr: float = 0.5
-    luma_refine: bool = True                 # luminance-NCC inside the
-                                             # candidate search (1 fetch/sample
-                                             # fast path, ~2.2x the RGB kernel);
-                                             # the FINAL pose is always
-                                             # re-scored in RGB with the frozen
-                                             # weights (pipeline/refine.py) and
-                                             # postProcess gates on RGB too, so
-                                             # only the argmin selection inside
-                                             # the search sees luminance.
-                                             # Quality parity:
-                                             # tests/test_refine.py::
-                                             # test_luma_refine_matches_rgb
+    refine_rgb_tail: int = 2                 # with luma_refine: the LAST
+                                             # n rounds search in RGB. The
+                                             # coarse rounds locate the NCC
+                                             # basin (luma suffices); the
+                                             # final rounds set sub-pixel
+                                             # accuracy, where chroma
+                                             # contrast measurably matters
+                                             # (REFINE_AB_CHIP.json: full-
+                                             # luma err_med 0.024 vs full-
+                                             # RGB 0.011; hybrid recovers
+                                             # RGB-level accuracy at near-
+                                             # luma speed)
+    luma_refine: bool = False                # luminance-NCC inside the
+                                             # candidate search: a 1.7x-faster
+                                             # opt-in, DEMOTED from default in
+                                             # round 5. On-chip A/B at
+                                             # production scale
+                                             # (REFINE_AB_CHIP.json) measured
+                                             # err_med 0.024 (luma) vs 0.011
+                                             # (RGB) on the random-RGB-texture
+                                             # scene — luminance discards the
+                                             # decorrelated chroma contrast, so
+                                             # the argmin picks worse poses and
+                                             # e2e accuracy degrades (acc_mean
+                                             # 0.0158 vs 0.0116). The reference
+                                             # optimizes RGB NCC
+                                             # (optim.cpp:401-468), so RGB
+                                             # search is the parity default;
+                                             # luma remains sound for real
+                                             # photographs whose channels
+                                             # correlate (the usual GPU-MVS
+                                             # practice) — enable per dataset
+                                             # after an A/B, ideally with
+                                             # refine_rgb_tail polish.
 
     # ---- propagation (reference propagate.cpp:24-25) ----
     max_num_of_propag: int = 2

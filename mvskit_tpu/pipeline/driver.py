@@ -278,6 +278,7 @@ class PMMVS:
             neighbor_cand_cap=cfg.neighbor_cand_cap,
             group_dma=cfg.refine_group_dma,
             donor_policy=cfg.donor_policy,
+            rgb_tail=cfg.refine_rgb_tail,
             n_illums=self.scene.n_illums if cfg.use_illums else 1,
         )
 

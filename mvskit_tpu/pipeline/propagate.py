@@ -64,6 +64,7 @@ class PropagateParams(NamedTuple):
     neighbor_cand_cap: int = 1024
     group_dma: bool = True
     donor_policy: str = "cell_first"
+    rgb_tail: int = 0
     # multi-illumination scoring (the live wiring of the reference's
     # dormant multi-illum getTex, optim.cpp:846-893): when > 1, the
     # gauntlet's NCC scores and the refinement objective average over
@@ -247,7 +248,7 @@ def run_gauntlet(
         init_angle_radius=p.refine_angle_radius,
         grad_steps=p.grad_steps, grad_lr=p.grad_lr,
         luma=p.luma_refine, group_dma=p.group_dma,
-        n_illums=p.n_illums,
+        n_illums=p.n_illums, rgb_tail=p.rgb_tail,
     )
 
     post_images, post_ok, _ = vw.post_process_core(

@@ -115,6 +115,7 @@ def refine_batch(
     luma: bool = False,
     group_dma: bool = True,
     n_illums: int = 1,
+    rgb_tail: int = 0,
 ) -> RefineResult:
     """Refine a batch of patches (reference Optim::refinePatch,
     optim.cpp:470-547). `images` is the fixed view list for the whole
@@ -128,7 +129,14 @@ def refine_batch(
     each round share one DMA tile per (patch, view) — n_cands x fewer
     DMA descriptors on the kernel's limiting resource. Candidates whose
     window escapes the shared tile (or resolves to a different pyramid
-    level than candidate 0) lose that view for that evaluation only."""
+    level than candidate 0) lose that view for that evaluation only.
+
+    rgb_tail (only with luma=True): the LAST rgb_tail rounds search in
+    RGB instead of luminance. The coarse rounds only need to locate the
+    NCC basin, where the cheap luminance signal suffices; the final
+    rounds set the sub-pixel accuracy, where chroma contrast measurably
+    matters (on-chip A/B REFINE_AB_CHIP.json: full-luma err_med 0.024
+    vs full-RGB 0.011 on the random-texture plane)."""
     B = coord.shape[0]
     ref = jnp.maximum(images[:, 0], 0)
     center = coord
@@ -175,68 +183,95 @@ def refine_batch(
         jnp.float32,
     )
 
-    def round_body(carry, xs):
-        rkey, is_first = xs
-        best_p, best_c, radius = carry
-        delta = (
-            jax.random.uniform(
-                rkey, (B, n_cands, 3), minval=-1.0, maxval=1.0
+    def make_round_body(luma_mode: bool):
+        def round_body(carry, xs):
+            rkey, is_first = xs
+            best_p, best_c, radius = carry
+            delta = (
+                jax.random.uniform(
+                    rkey, (B, n_cands, 3), minval=-1.0, maxval=1.0
+                )
+                * radius
             )
-            * radius
-        )
-        # round 0: candidate 0 is the unperturbed starting pose
-        delta = jnp.where(
-            is_first, delta.at[:, 0, :].set(0.0), delta
-        )
-        cand = best_p[:, None, :] + delta
-        cand = cand.at[:, :, 1:].set(
-            jnp.clip(cand[:, :, 1:], -ANGLE_BOUND, ANGLE_BOUND)
-        )
-        flat = cand.reshape(B * n_cands, 3)
-        # evaluation needs per-candidate patch identity: tile row-wise
-        c = decode_coord(
-            jnp.repeat(center, n_cands, axis=0),
-            jnp.repeat(ray, n_cands, axis=0),
-            jnp.repeat(safe_dscale, n_cands, axis=0),
-            flat[:, 0],
-        )
-        n = decode_normal(
-            scene,
-            jnp.repeat(ref, n_cands, axis=0),
-            flat[:, 1] * ascale,
-            flat[:, 2] * ascale,
-        )
-        costs = _eval_cost(
-            scene,
-            jnp.repeat(views, n_cands, axis=0),
-            c,
-            n,
-            jnp.repeat(minimum, n_cands),
-            level,
-            wsize,
-            angle_threshold1,
-            luma=luma,
-            n_illums=n_illums,
-            # candidates are repeat-contiguous per patch: group their
-            # window DMAs (pallas_ncc group mode)
-            group=n_cands if group_dma else 1,
-        ).reshape(B, n_cands)
-        kbest = jnp.argmin(costs, axis=1)
-        cbest = jnp.take_along_axis(costs, kbest[:, None], axis=1)[:, 0]
-        pbest = jnp.take_along_axis(
-            cand, kbest[:, None, None], axis=1
-        )[:, 0]
-        improved = cbest < best_c
-        best_p = jnp.where(improved[:, None], pbest, best_p)
-        best_c = jnp.where(improved, cbest, best_c)
-        return (best_p, best_c, radius * shrink), None
+            # round 0: candidate 0 is the unperturbed starting pose
+            delta = jnp.where(
+                is_first, delta.at[:, 0, :].set(0.0), delta
+            )
+            cand = best_p[:, None, :] + delta
+            cand = cand.at[:, :, 1:].set(
+                jnp.clip(cand[:, :, 1:], -ANGLE_BOUND, ANGLE_BOUND)
+            )
+            flat = cand.reshape(B * n_cands, 3)
+            # evaluation needs per-candidate patch identity: tile
+            # row-wise
+            c = decode_coord(
+                jnp.repeat(center, n_cands, axis=0),
+                jnp.repeat(ray, n_cands, axis=0),
+                jnp.repeat(safe_dscale, n_cands, axis=0),
+                flat[:, 0],
+            )
+            n = decode_normal(
+                scene,
+                jnp.repeat(ref, n_cands, axis=0),
+                flat[:, 1] * ascale,
+                flat[:, 2] * ascale,
+            )
+            costs = _eval_cost(
+                scene,
+                jnp.repeat(views, n_cands, axis=0),
+                c,
+                n,
+                jnp.repeat(minimum, n_cands),
+                level,
+                wsize,
+                angle_threshold1,
+                luma=luma_mode,
+                n_illums=n_illums,
+                # candidates are repeat-contiguous per patch: group
+                # their window DMAs (pallas_ncc group mode)
+                group=n_cands if group_dma else 1,
+            ).reshape(B, n_cands)
+            kbest = jnp.argmin(costs, axis=1)
+            cbest = jnp.take_along_axis(
+                costs, kbest[:, None], axis=1
+            )[:, 0]
+            pbest = jnp.take_along_axis(
+                cand, kbest[:, None, None], axis=1
+            )[:, 0]
+            improved = cbest < best_c
+            best_p = jnp.where(improved[:, None], pbest, best_p)
+            best_c = jnp.where(improved, cbest, best_c)
+            return (best_p, best_c, radius * shrink), None
+
+        return round_body
 
     if rounds > 0:
+        # two scan segments: coarse rounds in the requested mode, the
+        # last rgb_tail rounds always RGB (no-op unless luma=True).
+        # Luma and RGB costs sit on slightly different scales, so the
+        # tail re-anchors instead of comparing across modes: best_c
+        # resets to +inf and the first RGB round pins candidate 0 to
+        # the incumbent pose — its RGB cost enters the same argmin as
+        # the jittered candidates, exactly like the round-0 start fold.
+        tail = min(rgb_tail, rounds) if luma else 0
+        n1 = rounds - tail
         keys = jax.random.split(key, rounds)
-        first = jnp.arange(rounds) == 0
-        (best_p, best_c, _), _ = lax.scan(
-            round_body, (best_p, best_c, radius0), (keys, first)
-        )
+        carry = (best_p, best_c, radius0)
+        if n1 > 0:
+            first = jnp.arange(n1) == 0
+            carry, _ = lax.scan(
+                make_round_body(luma), carry, (keys[:n1], first)
+            )
+        if tail > 0:
+            bp, bc, rad = carry
+            if n1 > 0:
+                bc = jnp.full_like(bc, jnp.inf)
+            carry = (bp, bc, rad)
+            first = jnp.arange(tail) == 0
+            carry, _ = lax.scan(
+                make_round_body(False), carry, (keys[n1:], first)
+            )
+        best_p, best_c, _ = carry
     else:  # degenerate budget: score the start pose only
         best_c = cost_of(p0)
 
