@@ -64,9 +64,13 @@ def patch_cells(
     invalid. Returns (cx[N, M], cy[N, M], valid[N, M])."""
     gw, gh = grid_dims(scene, level, csize)
     idx = jnp.maximum(lists, 0)
-    xy, _, pvalid = cam.project(scene.cams, idx, coord[:, None, :], level)
-    ix = jnp.floor(xy[..., 0] + 0.5).astype(jnp.int32) // csize
-    iy = jnp.floor(xy[..., 1] + 0.5).astype(jnp.int32) // csize
+    # dense-matmul projection + one-hot view select: the naive
+    # cam.project gather of P[idx] f32[N, M, 3, 4] pads 42.7x under
+    # TPU (8, 128) tiling — 16 GB of HLO temp at a 2^19-row full-table
+    # build (round-5 scale-check OOM; camera.project_xy_lists)
+    px, py, pvalid = cam.project_xy_lists(scene.cams, idx, coord, level)
+    ix = jnp.floor(px + 0.5).astype(jnp.int32) // csize
+    iy = jnp.floor(py + 0.5).astype(jnp.int32) // csize
     valid = (
         (lists >= 0)
         & pvalid

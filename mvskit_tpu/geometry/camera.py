@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -245,6 +246,43 @@ def project(cams: CameraSet, index, coord, level=0):
     xy = jnp.clip(xy, -1e9, 1e9)
     xy = jnp.where(valid[..., None], xy, BEHIND)
     return xy, z, valid
+
+
+def project_xy_lists(cams: CameraSet, index, coord, level=0):
+    """Camera::project for a [N] coord batch against a [N, M] view-index
+    list, WITHOUT the per-pair P gather of `project`.
+
+    `project(cams, idx, coord[:, None], level)` materializes
+    P[idx] = f32[N, M, 3, 4]: the [3, 4] minor dims tile to (8, 128) on
+    TPU with a 42.7x padding expansion — 16 GB of HLO temp at the
+    2^19-row full-table grid build (the round-5 scale-check OOM).
+    Projection is linear, so instead ONE [N, 4] @ [4, 3V]
+    f32-HIGHEST matmul projects every point into every view and a
+    static one-hot sweep picks each list entry's view; every
+    intermediate stays [N, M]-shaped (no trailing 3/4 axis to pad).
+    Same semantics as `project` (camera.cpp:310-326): behind-camera
+    pairs get BEHIND and valid=False.
+
+    Returns (x[N, M], y[N, M], valid[N, M])."""
+    V = cams.P.shape[0]
+    prec = jax.lax.Precision.HIGHEST
+    Pcat = cams.P.reshape(V * 3, 4).T.astype(jnp.float32)  # [4, 3V]
+    q = jnp.dot(coord.astype(jnp.float32), Pcat, precision=prec)
+    ix = jnp.zeros(index.shape, jnp.float32)
+    iy = jnp.zeros(index.shape, jnp.float32)
+    iz = jnp.zeros(index.shape, jnp.float32)
+    for v in range(V):
+        m = index == v
+        ix = jnp.where(m, q[:, None, 3 * v + 0], ix)
+        iy = jnp.where(m, q[:, None, 3 * v + 1], iy)
+        iz = jnp.where(m, q[:, None, 3 * v + 2], iz)
+    valid = iz > 0.0
+    safe_z = jnp.where(valid, iz, 1.0) * level_scale(level)
+    x = jnp.clip(ix / safe_z, -1e9, 1e9)
+    y = jnp.clip(iy / safe_z, -1e9, 1e9)
+    x = jnp.where(valid, x, BEHIND)
+    y = jnp.where(valid, y, BEHIND)
+    return x, y, valid
 
 
 def unproject(cams: CameraSet, index, xy, pz, level=0):

@@ -502,16 +502,43 @@ class PMMVS:
     def _mean_colors(self, scene, coord, images):
         """Mean color over each patch's views for the whole table
         (reference patch_manager.cpp:566-587, mode 0), jitted once at
-        the fixed table capacity."""
+        the fixed table capacity. Runs in 32k-row chunks: one pass over
+        the full table gathers P per (patch, view) with [3, 4] minor
+        dims that pad 42.7x under TPU tiling (multi-GB HLO temps at
+        2^19 rows — the scale-check OOM class)."""
+        N = coord.shape[0]
+        C = min(32768, N)
+        n_chunks = (N + C - 1) // C
+        pad = n_chunks * C - N
+
+        def one(args):
+            c, im = args
+            idx = jnp.maximum(im, 0)
+            cols = sampling.color_at_coord(
+                scene, idx, c[:, None, :], self.cfg.level
+            )
+            valid = (im >= 0)[..., None]
+            denom = jnp.maximum(jnp.sum(valid, axis=1), 1)
+            mean = jnp.sum(jnp.where(valid, cols, 0.0), axis=1) / denom
+            return jnp.clip(jnp.floor(mean + 0.5), 0, 255).astype(
+                jnp.uint8
+            )
+
         c = coord.astype(jnp.float32)
-        idx = jnp.maximum(images, 0)
-        cols = sampling.color_at_coord(
-            scene, idx, c[:, None, :], self.cfg.level
+        im = images
+        if pad:
+            c = jnp.concatenate([c, jnp.zeros((pad, 4), jnp.float32)])
+            im = jnp.concatenate(
+                [im, jnp.full((pad, im.shape[1]), -1, im.dtype)]
+            )
+        out = jax.lax.map(
+            one,
+            (
+                c.reshape(n_chunks, C, 4),
+                im.reshape(n_chunks, C, im.shape[1]),
+            ),
         )
-        valid = (images >= 0)[..., None]
-        denom = jnp.maximum(jnp.sum(valid, axis=1), 1)
-        mean = jnp.sum(jnp.where(valid, cols, 0.0), axis=1) / denom
-        return jnp.clip(jnp.floor(mean + 0.5), 0, 255).astype(jnp.uint8)
+        return out.reshape(n_chunks * C, 3)[:N]
 
     # ------------------------------------------------------------------
     def collect(self, table: Optional[pt.PatchTable] = None) -> Dict[str, np.ndarray]:
