@@ -128,3 +128,32 @@ def test_contour2_matches_manual():
     K = np.array([[500.0, 0.0, 320.0], [0.0, 510.0, 240.0], [0.0, 0.0, 1.0]])
     Rt = cam.quat2proj(extr)[:3]
     np.testing.assert_allclose(P, K @ Rt, rtol=1e-12)
+
+
+def test_project_xy_lists_matches_project():
+    """project_xy_lists (the padding-safe dense-matmul projection used
+    by the grid build, round-5 scale-OOM fix) must agree with the
+    gather-based cam.project on [N, M] view lists, including
+    behind-camera sentinels and padded (-1) entries."""
+    from mvskit_tpu.utils import synthetic
+
+    Ps, _, scene = synthetic.plane_scene(n_views=6, width=160, height=120)
+    rng = np.random.RandomState(3)
+    N, M = 64, 6
+    pts = rng.uniform(-1.5, 1.5, size=(N, 3))
+    pts[:, 2] = rng.uniform(-0.5, 6.0, size=N)  # some behind cameras
+    coord = jnp.asarray(
+        np.concatenate([pts, np.ones((N, 1))], 1), jnp.float32
+    )
+    lists = rng.randint(-1, 6, size=(N, M)).astype(np.int32)
+    idx = jnp.asarray(np.maximum(lists, 0))
+
+    xy, _, want_valid = cam.project(scene.cams, idx, coord[:, None, :], 1)
+    x, y, got_valid = cam.project_xy_lists(scene.cams, idx, coord, 1)
+    np.testing.assert_array_equal(np.asarray(got_valid), np.asarray(want_valid))
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(xy[..., 0]), rtol=1e-6, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(xy[..., 1]), rtol=1e-6, atol=1e-4
+    )

@@ -176,3 +176,49 @@ def test_gradient_polish_improves(sp):
     p = np.asarray(polished.cost)[ok]
     assert np.all(p <= b + 1e-5)
     assert np.mean(p) < np.mean(b)
+
+
+def test_rgb_tail_full_equals_rgb_search(sp):
+    """rgb_tail covering ALL rounds of a luma search must reproduce the
+    pure RGB search bit-for-bit: both run the same scan bodies over the
+    same key split with the round-0 pinned start (pipeline/refine.py
+    two-segment search)."""
+    scene, coord, normal, images, dscale = sp
+    ref = jnp.maximum(images[:, 0], 0)
+    ray = coord - scene.cams.center[ref]
+    ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    start = coord + (2.0 * dscale)[:, None] * ray
+
+    kw = dict(
+        level=LEVEL, wsize=WSIZE, tau=TAU, min_image_num=3,
+        angle_threshold1=A1, ascale=ASCALE,
+        rounds=4, n_cands=4, shrink=0.8,
+        init_depth_radius=4.0, init_angle_radius=8.0,
+    )
+    want = rf.refine_batch(
+        scene, start, normal, images, dscale, jax.random.PRNGKey(2),
+        luma=False, **kw
+    )
+    got = rf.refine_batch(
+        scene, start, normal, images, dscale, jax.random.PRNGKey(2),
+        luma=True, rgb_tail=4, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(got.coord), np.asarray(want.coord))
+    np.testing.assert_array_equal(np.asarray(got.ncc), np.asarray(want.ncc))
+
+
+def test_rgb_tail_hybrid_runs(sp):
+    """Hybrid luma+RGB-tail search converges onto the plane like the
+    single-mode searches (the re-anchored tail argmin is pure RGB)."""
+    scene, coord, normal, images, dscale = sp
+    ok = np.asarray(images[:, 0]) >= 0
+    res = rf.refine_batch(
+        scene, coord, normal, images, dscale, jax.random.PRNGKey(5),
+        level=LEVEL, wsize=WSIZE, tau=TAU, min_image_num=3,
+        angle_threshold1=A1, ascale=ASCALE,
+        rounds=6, n_cands=8, shrink=0.64,
+        init_depth_radius=4.0, init_angle_radius=8.0,
+        luma=True, rgb_tail=2,
+    )
+    z = np.abs(np.asarray(res.coord)[ok, 2])
+    assert np.median(z) < 0.03
